@@ -1,0 +1,82 @@
+"""Sparse body/face/hand landmark regressors, densified for the MXU.
+
+Parity target: /root/reference/lib_smpl/body_landmark.py. The reference
+multiplies scipy-sparse regressors per batch element; on TPU the regressors
+are tiny dense (K, V) matrices and one einsum regresses the whole batch.
+
+The canonical "SMPL center" used all over the pipeline is body25 joint 8
+(mid-hip), body_landmark.py:52-59.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+SMPL_CENTER_JOINT = 8  # body25 mid-hip
+
+
+def _load_sparse_T(path: str) -> np.ndarray:
+    """Load a scipy-sparse regressor pkl and return it dense, transposed to
+    (num_landmarks, num_verts) as the reference does (`.T` on load)."""
+    with open(path, "rb") as f:
+        mat = pickle.load(f, encoding="latin1")
+    return np.asarray(mat.T.todense() if hasattr(mat, "todense") else mat.T,
+                      dtype=np.float32)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BodyLandmarks:
+    body25: jax.Array  # (25, V)
+    face: jax.Array    # (70, V)
+    hand: jax.Array    # (42, V)
+
+    def body_joints(self, verts: jax.Array) -> jax.Array:
+        """verts (..., V, 3) -> body25 joints (..., 25, 3)."""
+        return jnp.einsum("jv,...vk->...jk", self.body25, verts,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    def all_landmarks(self, verts: jax.Array):
+        body = self.body_joints(verts)
+        face = jnp.einsum("jv,...vk->...jk", self.face, verts,
+                          precision=jax.lax.Precision.HIGHEST)
+        hand = jnp.einsum("jv,...vk->...jk", self.hand, verts,
+                          precision=jax.lax.Precision.HIGHEST)
+        return body, face, hand
+
+    def smpl_center(self, verts: jax.Array) -> jax.Array:
+        """verts (..., V, 3) -> (..., 3) body25 joint 8 (mid-hip)."""
+        return self.body_joints(verts)[..., SMPL_CENTER_JOINT, :]
+
+
+def load_landmarks(assets_root: str) -> BodyLandmarks:
+    return BodyLandmarks(
+        body25=jnp.asarray(_load_sparse_T(os.path.join(assets_root, "body25_regressor.pkl"))),
+        face=jnp.asarray(_load_sparse_T(os.path.join(assets_root, "face_regressor.pkl"))),
+        hand=jnp.asarray(_load_sparse_T(os.path.join(assets_root, "hand_regressor.pkl"))))
+
+
+def load_part_labels(assets_root: str) -> dict:
+    """Per-vertex part index dict from smpl_parts_dense.pkl
+    (parity: recon_fit_base.py:315-330)."""
+    with open(os.path.join(assets_root, "smpl_parts_dense.pkl"), "rb") as f:
+        return pickle.load(f, encoding="latin1")
+
+
+def part_labels_array(parts: dict, num_verts: int = 6890) -> np.ndarray:
+    """Flatten the {part_name: vertex_ids} dict into a (V,) int32 label array.
+
+    Part index = position in the (Ordered)dict iteration order, matching the
+    reference label convention (boundary_sampler.py:25-27,
+    recon_fit_base.py:320-326) so part-head channel k means the same body
+    part in both frameworks.
+    """
+    labels = np.zeros(num_verts, np.int32)
+    for idx, name in enumerate(parts):
+        labels[np.asarray(parts[name]).reshape(-1)] = idx
+    return labels
