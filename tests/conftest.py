@@ -18,7 +18,14 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The env var alone does not stick in this environment (an external plugin
+# platform is pre-selected); the config update reliably forces CPU.
+jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_enable_x64", False)
+# Parity tests compare against torch fp32; the backend default matmul
+# precision is bf16 even on CPU, so pin fp32 for the test session.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

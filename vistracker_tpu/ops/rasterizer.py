@@ -1,0 +1,168 @@
+"""Orthographic mask rasterization + differentiable soft silhouette on TPU.
+
+Replaces two CUDA components of the reference:
+  * neural_renderer orthographic depth/mask render used for triplane inputs
+    (render/render_triplane_nr.py) — here `rasterize_mask`.
+  * neural_renderer differentiable silhouette inside the object-pose
+    optimization (recon/obj_pose_roi.py:183-202) — here `soft_silhouette`.
+
+TPU-first formulation: an edge function e(p) = cross(b-a, p-a) is LINEAR in
+the pixel position, so evaluating 3 edge functions for F faces x P pixels is
+three (F, 3) @ (3, P) matmuls — pure MXU work, no scatter, no BVH, no
+dynamic shapes. Faces are processed in chunks with a fori_loop reduce to
+bound live memory at chunk x P.
+
+The soft silhouette normalizes each edge function by its edge length giving
+the signed distance to the edge LINE; min over the 3 edges approximates the
+signed distance to the triangle (exact near the boundary where gradients
+matter, saturated by the sigmoid elsewhere). Coverage combines over faces
+with max — sharper than SoftRas' product and cheaper, while still giving
+usable gradients to vertices. The hard mask is the sigma -> 0 limit and is
+computed with exact inside tests.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def pixel_grid(size: int) -> np.ndarray:
+    """(P, 3) homogeneous NDC pixel centers, align_corners=True convention:
+    col 0 -> x=-1, col size-1 -> x=+1; row 0 -> y=-1 (matches
+    ops.grid_sample, so rasterized masks and query sampling agree)."""
+    lin = np.linspace(-1.0, 1.0, size, dtype=np.float32)
+    xx, yy = np.meshgrid(lin, lin)  # row-major: yy varies over rows
+    return np.stack([xx.reshape(-1), yy.reshape(-1),
+                     np.ones(size * size, np.float32)], 0)  # (3, P)
+
+
+def _edge_coeffs(v2d: jax.Array, faces: jax.Array):
+    """Per-face edge-function coefficients.
+
+    v2d: (V, 2) NDC verts; faces: (F, 3) int. Returns
+    coeffs (F, 3, 3): e_i(p) = coeffs[f, i] . [px, py, 1], and
+    lengths (F, 3): edge lengths for distance normalization, and
+    orient (F,): +-1 so that orient * e_i > 0 inside.
+    """
+    a = v2d[faces[:, 0]]  # (F, 2)
+    b = v2d[faces[:, 1]]
+    c = v2d[faces[:, 2]]
+
+    def edge(p0, p1):
+        # cross(p1-p0, p-p0) = (p1x-p0x)(py-p0y) - (p1y-p0y)(px-p0x)
+        dx = p1[:, 0] - p0[:, 0]
+        dy = p1[:, 1] - p0[:, 1]
+        # -> coeff: [-dy, dx, dy*p0x - dx*p0y]
+        return jnp.stack([-dy, dx, dy * p0[:, 0] - dx * p0[:, 1]], -1), \
+            jnp.sqrt(dx * dx + dy * dy + 1e-12)
+
+    e0, l0 = edge(a, b)
+    e1, l1 = edge(b, c)
+    e2, l2 = edge(c, a)
+    coeffs = jnp.stack([e0, e1, e2], 1)        # (F, 3, 3)
+    lengths = jnp.stack([l0, l1, l2], 1)       # (F, 3)
+    # twice signed area = e0 evaluated at c
+    area2 = (e0 * jnp.stack([c[:, 0], c[:, 1], jnp.ones_like(c[:, 0])], -1)).sum(-1)
+    orient = jnp.sign(area2)
+    nondegenerate = jnp.abs(area2) > 1e-12
+    return coeffs, lengths, orient, nondegenerate
+
+
+def _face_chunks(faces: np.ndarray, chunk: int):
+    F = faces.shape[0]
+    pad = (-F) % chunk
+    fpad = np.concatenate([faces, np.zeros((pad, 3), faces.dtype)], 0)
+    valid = np.concatenate([np.ones(F, bool), np.zeros(pad, bool)])
+    return fpad.reshape(-1, chunk, 3), valid.reshape(-1, chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("size", "chunk"))
+def rasterize_mask(v2d: jax.Array, faces: jax.Array, size: int = 512,
+                   chunk: int = 512) -> jax.Array:
+    """Binary coverage mask of a 2D-projected mesh.
+
+    v2d: (V, 2) NDC in [-1, 1]; faces: (F, 3) int32 (static content not
+    required, only static shape). Returns (size, size) float32 {0, 1},
+    row 0 = y=-1 (grid_sample convention).
+    """
+    grid = jnp.asarray(pixel_grid(size))  # (3, P)
+    F = faces.shape[0]
+    pad = (-F) % chunk
+    faces_p = jnp.pad(faces, ((0, pad), (0, 0)))
+    valid = jnp.pad(jnp.ones((F,), bool), (0, pad))
+    coeffs, _, orient, nondeg = _edge_coeffs(v2d, faces_p)
+    valid = valid & nondeg  # zero-area faces would cover everything
+    coeffs = coeffs * orient[:, None, None]
+    n_chunks = faces_p.shape[0] // chunk
+
+    def body(i, mask):
+        sl = jax.lax.dynamic_slice_in_dim(coeffs, i * chunk, chunk, 0)
+        vl = jax.lax.dynamic_slice_in_dim(valid, i * chunk, chunk, 0)
+        e = jnp.einsum("fip,pn->fin", sl, grid,
+                       precision=jax.lax.Precision.HIGHEST)  # (chunk,3,P)
+        inside = jnp.all(e >= 0.0, axis=1) & vl[:, None]     # (chunk, P)
+        return mask | jnp.any(inside, axis=0)
+
+    mask = jax.lax.fori_loop(0, n_chunks, body,
+                             jnp.zeros(size * size, bool))
+    return mask.reshape(size, size).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("size", "chunk"))
+def soft_silhouette(v2d: jax.Array, faces: jax.Array, size: int = 256,
+                    sigma: float = 1e-4, chunk: int = 512) -> jax.Array:
+    """Differentiable silhouette in [0, 1], (size, size).
+
+    Per face: p_f(pixel) = sigmoid(min_i signed_edge_dist_i / sigma); the
+    image combines faces with max. sigma ~ (2/size) gives a ~1-pixel soft
+    boundary.
+    """
+    grid = jnp.asarray(pixel_grid(size))
+    F = faces.shape[0]
+    pad = (-F) % chunk
+    faces_p = jnp.pad(faces, ((0, pad), (0, 0)))
+    valid = jnp.pad(jnp.ones((F,), bool), (0, pad))
+    coeffs, lengths, orient, nondeg = _edge_coeffs(v2d, faces_p)
+    valid = valid & nondeg
+    # normalize -> signed distance to edge line, oriented inside-positive
+    coeffs = coeffs * (orient[:, None, None] / lengths[..., None])
+    n_chunks = faces_p.shape[0] // chunk
+
+    def body(i, sil):
+        sl = jax.lax.dynamic_slice_in_dim(coeffs, i * chunk, chunk, 0)
+        vl = jax.lax.dynamic_slice_in_dim(valid, i * chunk, chunk, 0)
+        e = jnp.einsum("fip,pn->fin", sl, grid,
+                       precision=jax.lax.Precision.HIGHEST)
+        sdf = jnp.min(e, axis=1)                              # (chunk, P)
+        p = jax.nn.sigmoid(sdf / sigma)
+        p = jnp.where(vl[:, None], p, 0.0)
+        return jnp.maximum(sil, jnp.max(p, axis=0))
+
+    sil = jax.lax.fori_loop(0, n_chunks, body,
+                            jnp.zeros(size * size, jnp.float32))
+    return sil.reshape(size, size)
+
+
+def triplane_ndc(verts: jax.Array, body_center: jax.Array) -> jax.Array:
+    """Project body-centered mesh verts onto the 3 triplane views.
+
+    verts: (V, 3) camera-frame; body_center: (3,). Returns (3, V, 2) NDC in
+    the SAME convention as core.camera.triplane_project / the SIF-Net query
+    path, so rendered masks and feature sampling line up by construction
+    (the reference must keep render_triplane_nr.py:112-139 and
+    chore_triplane.py:236-248 manually consistent).
+    """
+    from ..core.camera import triplane_project
+    return triplane_project(verts[None], body_center[None])[0]
+
+
+def render_triplane_masks(verts: jax.Array, faces: jax.Array,
+                          body_center: jax.Array, size: int = 512) -> jax.Array:
+    """(size, size, 3) float mask image, channels = right/back/top —
+    the SIF-Net triplane input (stage 3 of the pipeline)."""
+    ndc = triplane_ndc(verts, body_center)
+    masks = [rasterize_mask(ndc[i], faces, size) for i in range(3)]
+    return jnp.stack(masks, -1)
