@@ -1,0 +1,159 @@
+"""Joint-optimization tests against an analytic scene: spheres stand in for
+the neural distance fields so convergence is checkable in closed form."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vistracker_tpu.fit.joint import (JointFitConfig, SilRefs,
+                                      make_object_optimizer,
+                                      make_smpl_optimizer,
+                                      transform_obj_verts,
+                                      init_object_orientation)
+from vistracker_tpu.fit.smplt import SMPLTParams
+from vistracker_tpu.core import smpl as S
+from vistracker_tpu.core.landmarks import BodyLandmarks
+from vistracker_tpu.core.priors import MahalanobisPrior, HandPrior
+from vistracker_tpu.core.rotations import axis_angle_to_rotmat, rotation_angle_deg
+from vistracker_tpu.ops.rasterizer import soft_silhouette
+
+B = 4
+OBJ_CENTER_GT = np.array([0.4, 0.1, 2.3], np.float32)
+OBJ_RADIUS = 0.25
+HUM_CENTER = np.array([-0.1, 0.0, 2.2], np.float32)
+HUM_RADIUS = 0.4
+
+
+def sphere_query_fn(points):
+    """Analytic scene: human sphere + object sphere distance fields."""
+    d_h = jnp.abs(jnp.linalg.norm(points - HUM_CENTER, axis=-1) - HUM_RADIUS)
+    d_o = jnp.abs(jnp.linalg.norm(points - OBJ_CENTER_GT, axis=-1) - OBJ_RADIUS)
+    Bp, N = points.shape[:2]
+    parts = jnp.zeros((Bp, N, 14)).at[..., 11].set(5.0)  # all torso
+    return dict(df=jnp.stack([d_h, d_o], -1), parts=parts,
+                pca=jnp.broadcast_to(jnp.eye(3), (Bp, N, 3, 3)),
+                centers=jnp.zeros((Bp, N, 3)), vis=jnp.ones((Bp, N, 1)))
+
+
+def _sphere_mesh(n_lat=8, n_lon=12, r=OBJ_RADIUS):
+    """Small UV-sphere template mesh centered at origin."""
+    vs, fs = [], []
+    for i in range(n_lat + 1):
+        th = np.pi * i / n_lat
+        for j in range(n_lon):
+            ph = 2 * np.pi * j / n_lon
+            vs.append([r * np.sin(th) * np.cos(ph),
+                       r * np.cos(th),
+                       r * np.sin(th) * np.sin(ph)])
+    for i in range(n_lat):
+        for j in range(n_lon):
+            a = i * n_lon + j
+            b = i * n_lon + (j + 1) % n_lon
+            c = (i + 1) * n_lon + j
+            d = (i + 1) * n_lon + (j + 1) % n_lon
+            fs.append([a, b, c])
+            fs.append([b, d, c])
+    return np.asarray(vs, np.float32), np.asarray(fs, np.int32)
+
+
+def project_px(points):
+    fx, fy, cx, cy = 979.7844, 979.840, 1018.952, 779.486
+    z = points[..., 2:3]
+    return jnp.concatenate([points[..., 0:1] * fx / z + cx,
+                            points[..., 1:2] * fy / z + cy], -1)
+
+
+def test_transform_obj_verts_convention():
+    v = jnp.asarray(np.random.RandomState(0).randn(1, 5, 3).astype(np.float32))
+    r = axis_angle_to_rotmat(jnp.asarray([[0.3, -0.2, 0.5]]))
+    t = jnp.asarray([[0.1, 0.2, 0.3]])
+    s = jnp.asarray([2.0])
+    out = transform_obj_verts(v, r, t, s)
+    expected = (np.asarray(v) @ np.asarray(r) + np.asarray(t)[:, None]) * 2.0
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
+
+
+def test_init_object_orientation_recovers_rotation(rng):
+    src = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
+    r_gt = axis_angle_to_rotmat(jnp.asarray(rng.randn(B, 3).astype(np.float32) * 0.5))
+    tgt = jnp.matmul(jnp.linalg.inv(src), r_gt)  # src @ R = tgt
+    r = init_object_orientation(tgt, src)
+    ang = np.asarray(rotation_angle_deg(r, r_gt))
+    np.testing.assert_allclose(ang, 0.0, atol=0.1)
+
+
+def test_object_optimizer_converges_to_gt_center(rng):
+    cfg = JointFitConfig(iter_obj=8, iter_sil=2, joint_max_iter=8,
+                         sil_size=64, sil_sigma=1 / 32.0)
+    verts_t, faces_t = _sphere_mesh()
+    opt = make_object_optimizer(sphere_query_fn, project_px, cfg)
+
+    # template points on the template sphere (centered)
+    pts = verts_t[None].repeat(B, 0)
+    obj_points = jnp.asarray(pts)
+    sil_verts = jnp.asarray(pts)
+    sil_faces = jnp.asarray(faces_t)
+
+    # silhouette reference: GT sphere rendered through the same pipeline
+    roi = np.tile(np.array([[700.0, 500.0, 700.0]], np.float32), (B, 1))
+    gt_world = jnp.asarray(verts_t + OBJ_CENTER_GT)
+    px = project_px(gt_world[None])[0]
+    ndc = 2.0 * (px - roi[0, :2]) / roi[0, 2] - 1.0
+    ref = soft_silhouette(ndc, sil_faces, cfg.sil_size, cfg.sil_sigma)
+    sil = SilRefs(image_ref=jnp.broadcast_to(ref, (B,) + ref.shape),
+                  keep_mask=jnp.ones((B, cfg.sil_size, cfg.sil_size)),
+                  roi_xyb=jnp.asarray(roi))
+
+    # init: translated off the GT, identity rotation
+    obj_r = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
+    obj_t = jnp.asarray(np.tile(OBJ_CENTER_GT + np.array([0.15, -0.1, 0.1],
+                                                         np.float32), (B, 1)))
+    obj_s = jnp.ones((B,))
+    smpl_verts = jnp.asarray(
+        HUM_CENTER + HUM_RADIUS * _sphere_mesh(r=1.0)[0][None].repeat(B, 0))
+    labels_h = np.full(smpl_verts.shape[1], 11, np.int32)  # torso
+    occ = jnp.ones((B,))
+
+    r_fin, t_fin, losses = opt(obj_r, obj_t, obj_s, obj_points, smpl_verts,
+                               labels_h, occ, sil, sil_verts, sil_faces)
+    losses = np.asarray(losses)
+    assert np.isfinite(losses).all()
+    err0 = np.linalg.norm(np.asarray(obj_t) - OBJ_CENTER_GT, axis=-1).mean()
+    err1 = np.linalg.norm(np.asarray(t_fin) - OBJ_CENTER_GT, axis=-1).mean()
+    assert err1 < err0 * 0.5, (err0, err1)
+    # rotations stay valid
+    det = np.linalg.det(np.asarray(r_fin))
+    np.testing.assert_allclose(det, 1.0, atol=1e-4)
+
+
+def test_smpl_optimizer_runs_and_improves(rng):
+    model = S.random_smpl_model(0, num_joints=52, num_verts=96)
+    reg = rng.rand(25, 96).astype(np.float32)
+    reg /= reg.sum(1, keepdims=True)
+    lms = BodyLandmarks(body25=jnp.asarray(reg), face=jnp.asarray(reg[:1]),
+                        hand=jnp.asarray(reg[:1]))
+    bp = MahalanobisPrior(mean=jnp.zeros(63), prec=jnp.eye(63) * 0.1)
+    hp = HandPrior(mean=jnp.zeros(90), lhand_prec=jnp.eye(45) * 0.1,
+                   rhand_prec=jnp.eye(45) * 0.1)
+    cfg = JointFitConfig(iter_betas=1, iter_pose=1, iter_kpts=1,
+                         smpl_max_iter=3)
+    labels = rng.randint(0, 14, 96).astype(np.int32)
+
+    def project_norm(joints):
+        px = project_px(joints)
+        cc = jnp.asarray([[1018.952, 779.486]])
+        return 2.0 * (600.0 + px - cc[:, None, :]) / 1200.0 - 1.0
+
+    opt = make_smpl_optimizer(sphere_query_fn, project_norm, model, lms, bp,
+                              hp, labels, cfg)
+    init = SMPLTParams.from_full(
+        jnp.zeros((B, 156)), jnp.zeros((B, 10)),
+        jnp.asarray(np.tile(HUM_CENTER + np.array([0.1, 0.0, 0.3], np.float32),
+                            (B, 1))))
+    kpts = jnp.concatenate(
+        [jnp.zeros((B, 25, 2)), jnp.ones((B, 25, 1))], -1)
+    params, losses = opt(init, kpts)
+    losses = np.asarray(losses)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], (losses[0], losses[-1])
+    # hand pose never optimized
+    np.testing.assert_allclose(np.asarray(params.hand_pose), 0.0, atol=1e-7)

@@ -1,0 +1,382 @@
+"""vistracker_tpu command-line pipeline driver.
+
+Mirrors the reference's 7-stage demo (scripts/demo.sh) as subcommands, plus
+a fused `track` command that keeps the whole sequence resident on device
+across stages (the <30 min/1500-frame design target, SURVEY.md §7).
+
+`track --synthetic` runs the COMPLETE pipeline on a generated scene with
+randomly initialized networks — the end-to-end integration surface
+(stage wiring, packed-file contract, eval) without BEHAVE data or released
+checkpoints:
+
+  1. SMPL-T keypoint pre-fit            (fit.smplt)
+  2. SmoothNet smooth + re-fit          (fit.smoothing + fit.smplt)
+  3. triplane mask rendering            (ops.rasterizer)
+  4. SIF-Net encode + surface generator (models.sifnet + fit.generator)
+  5. object-rot smoothing + HVOP infill (fit.smoothing + fit.infill)
+  6. joint SMPL+object optimization     (fit.joint)
+  7. packed outputs + windowed eval     (data.packed + eval.evaluator)
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _stage(msg):
+    print(f"[vistracker] {msg}", flush=True)
+
+
+def run_synthetic_track(args) -> dict:
+    import jax
+    import jax.numpy as jnp
+    from ..cli.synthetic import make_scene
+    from ..fit.smplt import (SMPLTFitConfig, SMPLTParams, fit_smplt,
+                             init_trans_from_bbox)
+    from ..fit.smoothing import smooth_smplt, smooth_objrot
+    from ..fit.infill import make_infiller
+    from ..fit.generator import GeneratorConfig, make_generator, sifnet_query_fn
+    from ..fit.joint import (JointFitConfig, make_smpl_optimizer,
+                             make_object_optimizer, init_object_orientation,
+                             transform_obj_verts)
+    from ..models.sifnet import SIFNet, SIFNetConfig
+    from ..models.smoothnet import SmoothNet, SmoothNetSMPL
+    from ..models.infiller import ConditionalMInfiller, InfillerConfig
+    from ..ops.rasterizer import rasterize_mask, render_triplane_masks
+    from ..core.smpl import lbs_forward
+    from ..core.camera import PerspectiveCamera
+    from ..data.packed import PackedRecon, save_packed, load_packed_recon, \
+        recon_obj_verts
+    from ..data.silprep import prepare_sil_refs
+    from ..eval.evaluator import (eval_sequence, collect_results,
+                                  smpl_verts_from_packed)
+
+    t_start = time.time()
+    os.makedirs(args.out, exist_ok=True)
+    T = args.frames
+    scene = make_scene(T, num_verts=args.verts, seed=args.seed)
+    cam = PerspectiveCamera(crop_size=1200)
+    net_size = args.image_size
+    timings = {}
+
+    def norm_kpts(kpts_px, crop_centers):
+        xy = 2.0 * (600.0 + kpts_px[..., :2] - crop_centers[:, None, :]) \
+            / 1200.0 - 1.0
+        return np.concatenate([xy, kpts_px[..., 2:]], -1).astype(np.float32)
+
+    # ---------------- stage 1: SMPL-T keypoint pre-fit ----------------
+    _stage("stage 1/7: SMPL-T keypoint fitting")
+    t0 = time.time()
+    fit_cfg = SMPLTFitConfig(global_iters=args.global_iters,
+                             max_iters=args.smplt_iters)
+    bbox_centers = scene.kpts[:, :, :2].mean(1)
+    init = SMPLTParams.from_full(
+        jnp.asarray(np.tile(scene.poses_gt[:1] * 0.0, (T, 1))),
+        jnp.zeros((T, 10)),
+        jnp.asarray(init_trans_from_bbox(bbox_centers, fit_cfg)))
+    params1, _ = fit_smplt(scene.model, scene.landmarks, scene.body_prior,
+                           scene.hand_prior, jnp.asarray(scene.kpts), init,
+                           fit_cfg)
+    timings["smplt_fit"] = time.time() - t0
+
+    # ---------------- stage 2: SmoothNet smooth + re-fit ----------------
+    _stage("stage 2/7: SmoothNet smoothing + re-fit")
+    t0 = time.time()
+    W = min(64, T)
+    sn_smpl = SmoothNetSMPL(window_size=W, output_size=W)
+    sn_params = sn_smpl.init(jax.random.PRNGKey(1), jnp.zeros((1, 157, W)))
+    poses1 = np.asarray(params1.pose)
+    smoothed = smooth_smplt(sn_params, poses1, np.asarray(params1.betas),
+                            np.asarray(params1.trans), window=W)
+    # re-fit from smoothed init (fit_SMPLH_smoothed: 30 iters, no global)
+    poses_sm = np.zeros((T, 156), np.float32)
+    poses_sm[:, :66] = smoothed["poses"][:, :66]
+    refit_cfg = SMPLTFitConfig(max_iters=args.refit_iters)
+    init2 = SMPLTParams.from_full(
+        jnp.asarray(poses_sm), jnp.asarray(smoothed["betas"]),
+        jnp.asarray(smoothed["trans"]))
+    params2, _ = fit_smplt(scene.model, scene.landmarks, scene.body_prior,
+                           scene.hand_prior, jnp.asarray(scene.kpts), init2,
+                           refit_cfg, skip_global_phase=True)
+    smplt_pack = os.path.join(args.out, "recon_smplt-smoothed-fit.pkl")
+    save_packed(smplt_pack, dict(
+        poses=np.asarray(params2.pose), betas=np.asarray(params2.betas),
+        trans=np.asarray(params2.trans),
+        obj_angles=np.broadcast_to(np.eye(3), (T, 3, 3)).copy(),
+        obj_trans=np.zeros((T, 3)), obj_scales=np.zeros(T),
+        gender="male", frames=[f"t{i:04d}.000" for i in range(T)]))
+    timings["smooth_refit"] = time.time() - t0
+
+    # ---------------- stage 3: triplane rendering ----------------
+    _stage("stage 3/7: triplane rendering")
+    t0 = time.time()
+    verts2, _, _, _ = lbs_forward(scene.model, params2.pose, params2.betas,
+                                  params2.trans)
+    body_centers = scene.landmarks.smpl_center(verts2)  # (T, 3)
+    smpl_faces = jnp.asarray(scene.smpl_faces[:256])
+    triplanes = jnp.stack([
+        render_triplane_masks(verts2[i], smpl_faces, body_centers[i],
+                              net_size) for i in range(T)])
+    timings["triplane"] = time.time() - t0
+
+    # ---------------- stage 4: SIF-Net + surface generation ----------------
+    _stage("stage 4/7: SIF-Net neural reconstruction")
+    t0 = time.time()
+    sif_cfg = SIFNetConfig(num_stack=args.sif_stacks, num_hourglass=1,
+                           hourglass_dim=32, tmpx_dim=32, triplane_stack=args.sif_stacks,
+                           triplane_hg_dim=32, triplane_tmpx_dim=32,
+                           hidden_dim=16)
+    sifnet = SIFNet(sif_cfg, cam)
+    crop_centers = np.asarray(cam.project_screen(body_centers[:, None, :]))[:, 0]
+
+    # build 8-channel inputs: masks rasterized in crop space + triplanes
+    def crop_ndc(v):
+        return np.asarray(cam.project_points(v, jnp.asarray(crop_centers)))
+
+    ndc_smpl = crop_ndc(verts2)[..., :2]
+    obj_gt_world = recon_obj_verts(scene.temp_verts, scene.obj_rot_gt,
+                                   scene.obj_trans_gt, np.ones(T))
+    ndc_obj = crop_ndc(jnp.asarray(obj_gt_world))[..., :2]
+    person_masks = np.stack([np.asarray(rasterize_mask(
+        jnp.asarray(ndc_smpl[i]), smpl_faces, net_size)) for i in range(T)])
+    obj_masks = np.stack([np.asarray(rasterize_mask(
+        jnp.asarray(ndc_obj[i]), jnp.asarray(scene.temp_faces), net_size))
+        for i in range(T)])
+    rgb = np.repeat(person_masks[..., None], 3, -1) * 0.5 \
+        + np.repeat(obj_masks[..., None], 3, -1) * 0.3
+    images = np.concatenate(
+        [rgb, person_masks[..., None], obj_masks[..., None],
+         np.asarray(triplanes)], -1).astype(np.float32)
+
+    sif_params = sifnet.init(jax.random.PRNGKey(2), jnp.asarray(images[:1]),
+                             jnp.zeros((1, 8, 3)),
+                             jnp.asarray(crop_centers[:1]),
+                             body_centers[:1])
+    cache = sifnet.apply(sif_params, jnp.asarray(images),
+                         method=SIFNet.encode)
+    gen_cfg = GeneratorConfig(num_steps=4, num_rounds=2,
+                              samples_per_round=args.gen_samples,
+                              num_points=args.gen_points)
+    generate = make_generator(sifnet_query_fn(sifnet), gen_cfg)
+    pc = generate(sif_params, cache, jnp.asarray(crop_centers), body_centers,
+                  jax.random.PRNGKey(3))
+    neural_pack = os.path.join(args.out, "recon_neural.pkl")
+    save_packed(neural_pack, dict(
+        neural_pca=np.asarray(pc["object"]["pca_axis"]),
+        neural_trans=np.asarray(pc["object"]["centers"]),
+        neural_visibility=np.asarray(pc["object"]["visibility"])[:, 0],
+        recon_exist=np.ones(T, bool), recon_name="neural",
+        frames=[f"t{i:04d}.000" for i in range(T)], gender="male"))
+    timings["sifnet_recon"] = time.time() - t0
+
+    # ---------------- stage 5: object-rot smoothing + infill ----------------
+    _stage("stage 5/7: SmoothNet object rotation + HVOP-Net infill")
+    t0 = time.time()
+    pca_init = np.linalg.svd(scene.temp_verts - scene.temp_verts.mean(0),
+                             full_matrices=False)[2]  # (3, 3) PCA axes
+    rot_neural = np.asarray(init_object_orientation(
+        jnp.asarray(np.asarray(pc["object"]["pca_axis"])),
+        jnp.broadcast_to(jnp.asarray(pca_init), (T, 3, 3))))
+    rot_real = rot_neural.transpose(0, 2, 1)
+    Wr = min(64, T)
+    sn_rot = SmoothNet(window_size=Wr, output_size=Wr)
+    snr_params = sn_rot.init(jax.random.PRNGKey(4), jnp.zeros((1, 6, Wr)))
+    obj_angles_sm = smooth_objrot(snr_params, rot_real, window=Wr)
+
+    inf_cfg = InfillerConfig(clip_len=min(180, max(4, T)),
+                             window=max(1, min(30, T // 3)))
+    infiller = ConditionalMInfiller(inf_cfg)
+    inf_params = infiller.init(
+        jax.random.PRNGKey(5), jnp.zeros((1, inf_cfg.clip_len, 147)),
+        jnp.zeros((1, inf_cfg.clip_len), bool),
+        jnp.zeros((1, inf_cfg.clip_len, 6)),
+        jnp.zeros((1, inf_cfg.clip_len), bool))
+    run_infill = make_infiller(infiller, inf_cfg)
+    occ = np.asarray(pc["object"]["visibility"])[:, 0]
+    occ = np.where(np.isfinite(occ), occ, scene.occ_ratios)
+    rots_filled = run_infill(inf_params, np.asarray(params2.pose),
+                             np.asarray(params2.trans),
+                             obj_angles_sm.transpose(0, 2, 1), occ,
+                             occ_thres=0.5, init_thres=0.0)
+    if rots_filled is None:
+        rots_filled = obj_angles_sm.transpose(0, 2, 1)
+    timings["smooth_infill"] = time.time() - t0
+
+    # ---------------- stage 6: joint optimization ----------------
+    _stage("stage 6/7: joint SMPL+object optimization")
+    t0 = time.time()
+    jcfg = JointFitConfig(
+        iter_betas=1, iter_pose=1, iter_kpts=1,
+        smpl_max_iter=args.joint_smpl_iters, iter_obj=args.joint_obj_iters,
+        iter_sil=args.joint_sil_iters, joint_max_iter=args.joint_iters,
+        sil_size=64, sil_sigma=1 / 32.0)
+    cc = jnp.asarray(crop_centers)
+    bc = body_centers
+
+    def query_fn(points):
+        return sifnet.apply(sif_params, cache, points, cc, bc,
+                            method=SIFNet.query)[-1]
+
+    def project_norm(joints):
+        return cam.project_points(joints, cc)[..., :2]
+
+    opt_smpl = make_smpl_optimizer(query_fn, project_norm, scene.model,
+                                   scene.landmarks, scene.body_prior,
+                                   scene.hand_prior, scene.part_labels, jcfg)
+    kpts_norm = norm_kpts(scene.kpts, crop_centers)
+    smpl_final, _ = opt_smpl(params2, jnp.asarray(kpts_norm))
+
+    verts_final, _, _, _ = lbs_forward(scene.model, smpl_final.pose,
+                                       smpl_final.betas, smpl_final.trans)
+    sil = prepare_sil_refs(person_masks, obj_masks, crop_centers, 1200,
+                           net_size, jcfg.sil_size)
+
+    def project_px(points):
+        return cam.project_screen(points)
+
+    opt_obj = make_object_optimizer(query_fn, project_px, jcfg)
+    obj_t0 = np.asarray(pc["object"]["centers"]) + np.asarray(bc)
+    obj_pts = jnp.broadcast_to(jnp.asarray(scene.temp_verts),
+                               (T,) + scene.temp_verts.shape)
+    r_fin, t_fin, _ = opt_obj(
+        jnp.asarray(rots_filled.transpose(0, 2, 1)), jnp.asarray(obj_t0),
+        jnp.ones(T), obj_pts, verts_final, scene.part_labels,
+        jnp.asarray(occ), sil, obj_pts, jnp.asarray(scene.temp_faces))
+    timings["joint_opt"] = time.time() - t0
+
+    # ---------------- stage 7: pack + evaluate ----------------
+    _stage("stage 7/7: packing + evaluation")
+    t0 = time.time()
+    recon_pack_path = os.path.join(args.out, "recon_track.pkl")
+    save_packed(recon_pack_path, dict(
+        poses=np.asarray(smpl_final.pose), betas=np.asarray(smpl_final.betas),
+        trans=np.asarray(smpl_final.trans),
+        obj_angles=np.asarray(r_fin), obj_trans=np.asarray(t_fin),
+        obj_scales=np.ones(T), recon_exist=np.ones(T, bool),
+        recon_name="track", frames=[f"t{i:04d}.000" for i in range(T)],
+        gender="male"))
+
+    rec = load_packed_recon(recon_pack_path)
+    sverts_rc = smpl_verts_from_packed(scene.model, rec.poses, rec.betas,
+                                       rec.trans)
+    overts_rc = recon_obj_verts(scene.temp_verts, rec.obj_angles,
+                                rec.obj_trans, rec.obj_scales)
+    sverts_gt, _, _, _ = lbs_forward(scene.model, jnp.asarray(scene.poses_gt),
+                                     jnp.asarray(scene.betas_gt),
+                                     jnp.asarray(scene.trans_gt))
+    overts_gt = recon_obj_verts(scene.temp_verts, scene.obj_rot_gt,
+                                scene.obj_trans_gt, np.ones(T))
+    errs = eval_sequence(np.asarray(sverts_gt), overts_gt, sverts_rc,
+                         overts_rc, scene.smpl_faces, scene.temp_faces,
+                         window=args.eval_window, chamfer_samples=1000)
+    outfile = collect_results({"Date00_Sub00_synthetic": errs}, args.out,
+                              "synthetic-track")
+    timings["pack_eval"] = time.time() - t0
+    timings["total"] = time.time() - t_start
+
+    summary = json.load(open(outfile))
+    result = dict(
+        eval_json=outfile, recon_pack=recon_pack_path,
+        smpl_v2v_cm=summary["smpl_v2v"]["mean"],
+        obj_v2v_cm=summary["obj_v2v"]["mean"],
+        timings={k: round(v, 2) for k, v in timings.items()})
+    print(json.dumps(result, indent=2))
+    return result
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="vistracker",
+                                description=__doc__.split("\n")[0])
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    tr = sub.add_parser("track", help="full tracking pipeline (stages 1-7)")
+    tr.add_argument("--synthetic", action="store_true",
+                    help="run on a generated scene (no BEHAVE data needed)")
+    tr.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (fast compiles; the tiny "
+                         "synthetic shapes don't need the TPU)")
+    tr.add_argument("--seq", help="BEHAVE sequence folder (real data)")
+    tr.add_argument("--out", default="track_out")
+    tr.add_argument("--frames", type=int, default=8)
+    tr.add_argument("--verts", type=int, default=128)
+    tr.add_argument("--image-size", type=int, default=64)
+    tr.add_argument("--seed", type=int, default=0)
+    tr.add_argument("--global-iters", type=int, default=2)
+    tr.add_argument("--smplt-iters", type=int, default=10)
+    tr.add_argument("--refit-iters", type=int, default=3)
+    tr.add_argument("--sif-stacks", type=int, default=1)
+    tr.add_argument("--gen-samples", type=int, default=1024)
+    tr.add_argument("--gen-points", type=int, default=256)
+    tr.add_argument("--joint-smpl-iters", type=int, default=3)
+    tr.add_argument("--joint-obj-iters", type=int, default=3)
+    tr.add_argument("--joint-sil-iters", type=int, default=2)
+    tr.add_argument("--joint-iters", type=int, default=3)
+    tr.add_argument("--eval-window", type=int, default=300)
+
+    ev = sub.add_parser("evaluate", help="windowed eval of packed recon vs GT")
+    ev.add_argument("--recon", required=True, help="packed recon pkl")
+    ev.add_argument("--gt", required=True, help="packed GT pkl")
+    ev.add_argument("--template", required=True, help="object template ply")
+    ev.add_argument("--smpl-model", help="SMPL-H model pkl")
+    ev.add_argument("--window", type=int, default=300)
+    ev.add_argument("--out", default="results")
+    return p
+
+
+def run_evaluate(args):
+    import jax.numpy as jnp
+    from ..data.packed import load_packed_recon, load_packed, \
+        recon_obj_verts, gt_obj_verts
+    from ..utils.mesh import load_ply
+    from ..core.smpl import load_smpl_pkl
+    from ..eval.evaluator import (eval_sequence, collect_results,
+                                  smpl_verts_from_packed)
+
+    temp_v, temp_f = load_ply(args.template)
+    temp_v = temp_v - temp_v.mean(0)
+    rec = load_packed_recon(args.recon)
+    gt = load_packed(args.gt)
+    model = load_smpl_pkl(args.smpl_model)
+    sverts_rc = smpl_verts_from_packed(model, rec.poses, rec.betas, rec.trans)
+    overts_rc = recon_obj_verts(temp_v, rec.obj_angles, rec.obj_trans,
+                                rec.obj_scales)
+    sverts_gt = smpl_verts_from_packed(
+        model, np.asarray(gt["poses"]).reshape(len(gt["poses"]), -1),
+        np.asarray(gt["betas"]), np.asarray(gt["trans"]))
+    ga = np.asarray(gt["obj_angles"])
+    if ga.ndim == 2:  # GT packs store axis-angle
+        overts_gt = gt_obj_verts(temp_v, ga, np.asarray(gt["obj_trans"]))
+    else:
+        overts_gt = recon_obj_verts(temp_v, ga, np.asarray(gt["obj_trans"]),
+                                    np.ones(len(ga)))
+    seq_name = os.path.basename(args.recon).replace(".pkl", "")
+    errs = eval_sequence(sverts_gt, overts_gt, sverts_rc, overts_rc,
+                         model.faces, temp_f, rec.recon_exist, args.window)
+    out = collect_results({seq_name: errs}, args.out,
+                          rec.recon_name or "recon")
+    print(out)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if getattr(args, "cpu", False):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    if args.cmd == "track":
+        if not args.synthetic and not args.seq:
+            raise SystemExit("track requires --synthetic or --seq")
+        if args.synthetic:
+            run_synthetic_track(args)
+        else:
+            raise SystemExit("real-data tracking requires a BEHAVE sequence "
+                             "folder with masks/keypoints; see README")
+    elif args.cmd == "evaluate":
+        run_evaluate(args)
+
+
+if __name__ == "__main__":
+    main()

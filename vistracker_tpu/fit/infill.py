@@ -1,0 +1,126 @@
+"""Autoregressive object-pose infilling with HVOP-Net (pipeline stage 5b).
+
+Parity targets: interp/test_infill_autoreg.py + test_cinfill_autoreg.py:
+  * inputs: SMPL stream = 24-joint rot6d (144) + trans (3) = 147-d; object
+    stream = rot6d (6) from the smoothed recon, zeroed on occluded frames
+  * occlusion mask = predicted visibility < occ_thres (0.5); the first
+    180-frame clip needs >= 30 visible frames under init_thres, else the
+    sequence passes through unmodified
+  * clip 0 predicts rot6d for all 180 frames; subsequent clips slide by
+    window=30, feed the previous predictions as the first-30-frame context
+    (mask forced visible there), and keep pred[30:]
+  * output rotations REPLACE the input everywhere (not only occluded
+    frames); translations are copied from the input
+
+TPU-first: the sequential clip dependency is real, so the autoregression is
+a lax.scan over clip starts with a carried output buffer — ~ (L-180)/30 + 2
+steps of one batched transformer forward each, all inside one jit. The
+sequence is padded to a static clip grid; padded frames are masked occluded
+and discarded.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.rotations import (axis_angle_to_rot6d, rot6d_to_rotmat,
+                              rotmat_to_rot6d)
+from ..models.infiller import ConditionalMInfiller, InfillerConfig
+from .smoothing import smplh_to_smpl_pose
+
+
+def prepare_streams(poses: np.ndarray, trans: np.ndarray,
+                    obj_rot_real: np.ndarray):
+    """Build the (T, 147) SMPL and (T, 6) object input streams."""
+    T = len(poses)
+    p72 = smplh_to_smpl_pose(poses) if poses.shape[-1] == 156 else poses
+    rot6d_smpl = np.asarray(axis_angle_to_rot6d(
+        jnp.asarray(p72.reshape(-1, 3)))).reshape(T, 144)
+    smpl_stream = np.concatenate([rot6d_smpl, trans], 1).astype(np.float32)
+    obj_stream = np.asarray(rotmat_to_rot6d(
+        jnp.asarray(obj_rot_real))).astype(np.float32)
+    return smpl_stream, obj_stream
+
+
+def make_infiller(model: ConditionalMInfiller,
+                  cfg: InfillerConfig = InfillerConfig()):
+    """Returns infill(params, smpl_stream, obj_stream, occ_mask) jitted per
+    sequence length. occ_mask (T,) bool, True = occluded."""
+    clip, win = cfg.clip_len, cfg.window
+
+    def forward(params, smpl_clip, obj_clip, mask_clip):
+        # object inputs zeroed where occluded (model_forward)
+        obj_in = obj_clip * (1.0 - mask_clip[:, None].astype(jnp.float32))
+        pred = model.apply(params, smpl_clip[None],
+                           jnp.zeros((1, clip), bool),
+                           obj_in[None], mask_clip[None])
+        return pred[0]  # (clip, 6)
+
+    @jax.jit
+    def infill(params, smpl_stream, obj_stream, occ_mask):
+        T = smpl_stream.shape[0]
+        n_steps = max(0, (T - clip + win - 1) // win + 1) if T > clip else 0
+
+        # first clip
+        pred0 = forward(params, smpl_stream[:clip], obj_stream[:clip],
+                        occ_mask[:clip])
+        out0 = jnp.zeros((T, 6)).at[:clip].set(pred0)
+
+        def step(carry, idx):
+            out = carry
+            start = (idx + 1) * win  # clips slide by `win` starting at win
+            sc = jax.lax.dynamic_slice_in_dim(smpl_stream, start, clip, 0)
+            oc = jax.lax.dynamic_slice_in_dim(obj_stream, start, clip, 0)
+            mc = jax.lax.dynamic_slice_in_dim(occ_mask, start, clip, 0)
+            ctx = jax.lax.dynamic_slice_in_dim(out, start, win, 0)
+            oc = oc.at[:win].set(ctx)          # carry predicted context
+            mc = mc.at[:win].set(False)        # context counts as visible
+            pred = forward(params, sc, oc, mc)
+            out = jax.lax.dynamic_update_slice_in_dim(
+                out, pred[win:], start + win, 0)
+            return out, None
+
+        if n_steps > 0:
+            out, _ = jax.lax.scan(step, out0, jnp.arange(n_steps))
+        else:
+            out = out0
+        return out
+
+    def run(params, poses, trans, obj_rot_real, occ_ratios,
+            occ_thres: float = 0.5, init_thres: float = 0.5):
+        """Host wrapper: pads to the static clip grid, applies the
+        reliable-seed gate, converts back to rotation matrices.
+
+        Returns (T, 3, 3) REAL rotations, or None if passthrough
+        (unreliable seeds, test_infill_autoreg.py:99-106).
+        """
+        T = len(poses)
+        smpl_stream, obj_stream = prepare_streams(poses, trans, obj_rot_real)
+        occ = np.asarray(occ_ratios).reshape(-1)
+        first_mask = occ[:clip] < init_thres
+        if np.sum(~first_mask) < win:
+            return None  # passthrough
+        mask = occ < occ_thres
+
+        # pad to clip + k*win so every scan slice is in range
+        if T <= clip:
+            pad = clip - T
+        else:
+            k = int(np.ceil((T - clip) / win))
+            pad = clip + k * win - T
+        if pad:
+            smpl_stream = np.concatenate(
+                [smpl_stream, np.repeat(smpl_stream[-1:], pad, 0)], 0)
+            obj_stream = np.concatenate(
+                [obj_stream, np.repeat(obj_stream[-1:], pad, 0)], 0)
+            mask = np.concatenate([mask, np.ones(pad, bool)])
+        rot6d_out = infill(params, jnp.asarray(smpl_stream),
+                           jnp.asarray(obj_stream), jnp.asarray(mask))
+        rots = np.asarray(rot6d_to_rotmat(rot6d_out[:T]))
+        assert np.isfinite(rots).all(), "nan in infilled rotations"
+        return rots
+
+    return run

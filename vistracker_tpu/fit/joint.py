@@ -1,0 +1,428 @@
+"""Joint SMPL + object optimization against the neural fields (stage 6) —
+the metric-critical loop.
+
+Parity targets:
+  * recon/recon_fit_behave.py:optimize_smpl (phases beta -> all-pose ->
+    kpts; Adam lr .02 -> .006; losses df_h clamp 0.1, part CE, priors,
+    smplz, pinit, j2d, stemp; decay 1 except kpts it/3)
+  * recon/recon_fit_trivis_full.py:optimize_smpl_object (phases
+    object-only 15 it [Adam R lr .002 / t lr .006] -> sil 30 it
+    [Adam R,t lr .006] -> joint <=100 it [Adam t lr .002]; loss-weight
+    table :124-153; occ-ratio weighting; temporal otemp/ovtemp with x10 in
+    joint; contact dfs computed ONCE at joint start; 10 steps/iter;
+    zero-grad each step; fresh Adam moments at each phase switch)
+  * recon/obj_pose_roi.py:SilLossROI (occlusion-aware ROI silhouette L2)
+  * recon/recon_fit_base.py:compute_contact_loss (part-paired chamfer),
+    transform_obj_verts ((v @ R + t) * s), decopose_axis (SO(3) projection
+    with 1e-4 tie-breaking noise — ours is a fixed perturbation so the
+    compiled program stays deterministic; see _TIE_BREAK below).
+
+TPU-first design: every phase is one jit'd lax.scan over Adam steps on the
+whole frame chunk; early stopping becomes a fixed budget (configurable).
+The BVH collision loss is replaced by an SDF-grid penalty (ops/sdf_grid.py)
+and is optional, mirroring the reference's hostname gate
+(recon_fit_base.py:106).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.smpl import SMPLModel, lbs_forward
+from ..core.landmarks import BodyLandmarks, SMPL_CENTER_JOINT
+from ..core.priors import MahalanobisPrior, HandPrior
+from ..core.rotations import project_so3
+from ..ops.chamfer import label_compatible_nn
+from ..ops.rasterizer import soft_silhouette
+from ..ops.sdf_grid import SDFGrid, penetration_loss
+from .smplt import SMPLTParams
+
+NUM_PARTS = 14
+
+# SVD gradients are undefined when singular values coincide — exactly the
+# case for a clean rotation matrix. The reference breaks the tie with
+# 1e-4 * rand noise (recon_fit_base.py:469); we use a FIXED perturbation so
+# the program stays deterministic.
+_TIE_BREAK = np.array([[0.31, 0.74, 0.17],
+                       [0.58, 0.09, 0.93],
+                       [0.42, 0.66, 0.25]], np.float32)
+
+
+def decopose_axis(rot: jax.Array) -> jax.Array:
+    """SO(3) projection with deterministic tie-breaking noise
+    (parity: recon_fit_base.py:decopose_axis)."""
+    return project_so3(rot + 1e-4 * jnp.asarray(_TIE_BREAK))
+
+
+@dataclasses.dataclass(frozen=True)
+class JointFitConfig:
+    # SMPL phase (optimize_smpl): iters x 10 steps
+    iter_betas: int = 1
+    iter_pose: int = 1
+    iter_kpts: int = 1
+    smpl_max_iter: int = 100
+    lr_betas: float = 0.02
+    lr_pose: float = 0.006
+    # object phases
+    iter_obj: int = 15
+    iter_sil: int = 30
+    joint_max_iter: int = 100
+    lr_obj_r: float = 0.002
+    lr_obj_t: float = 0.006
+    lr_sil: float = 0.006
+    lr_joint: float = 0.002
+    steps_per_iter: int = 10
+    # thresholds
+    df_h_clamp: float = 0.1
+    df_o_clamp: float = 0.8
+    cont_thres: float = 0.08
+    z0: float = 2.2
+    obj_scale: float = 1.0
+    sil_size: int = 256
+    sil_sigma: float = 1.0 / 128.0
+    collision: bool = False  # reference gates this by hostname
+    # loss weight base constants (w * cst / (1 + decay))
+    w_pose: float = 1e-5
+    w_hand: float = 1e-5
+    w_j2d: float = 0.3 ** 2
+    w_object: float = 30.0 ** 2
+    w_part: float = 0.05 ** 2
+    w_contact: float = 30.0 ** 2
+    w_scale: float = 10.0 ** 2
+    w_df_h: float = 10.0 ** 2
+    w_smplz: float = 30.0 ** 2
+    w_mask: float = 0.03 ** 2
+    w_ocent: float = 0.0
+    w_collide: float = 3.0 ** 2
+    w_pinit: float = 5.0 ** 2
+    w_trans: float = 10.0 ** 2
+    w_stemp: float = 100.0 ** 2
+    w_otemp: float = 15.0 ** 2
+    w_ovtemp: float = 50.0 ** 2
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SilRefs:
+    """Host-prepared occlusion-aware silhouette references (SilLossROI)."""
+
+    image_ref: jax.Array  # (B, S, S) object mask crop in ROI
+    keep_mask: jax.Array  # (B, S, S) 1 = scored pixel, 0 = person-occluded
+    roi_xyb: jax.Array    # (B, 3) ROI square (x, y, side) in orig pixels
+
+
+def transform_obj_verts(verts: jax.Array, obj_r: jax.Array, obj_t: jax.Array,
+                        obj_s: jax.Array) -> jax.Array:
+    """(B, N, 3) @ (B, 3, 3) + t, then scale — recon_fit_base.py:455-459.
+    Note the ROW-VECTOR convention (v @ R), matching the packed obj_angles."""
+    v = jnp.einsum("bnk,bkj->bnj", verts, obj_r,
+                   precision=jax.lax.Precision.HIGHEST)
+    return (v + obj_t[:, None, :]) * obj_s[:, None, None]
+
+
+def init_object_orientation(tgt_axis: jax.Array, src_axis: jax.Array) -> jax.Array:
+    """Relative rotation from template PCA axes to predicted axes
+    (recon_fit_base.py:202-215: pinv(src) @ tgt, projected to SO(3))."""
+    pseudo = jnp.linalg.pinv(src_axis)
+    return project_so3(jnp.matmul(pseudo, tgt_axis,
+                                  precision=jax.lax.Precision.HIGHEST))
+
+
+def _adam_scan(loss_fn: Callable, params, lrs: dict, n_steps: int,
+               decay_fn: Callable):
+    """Generic phase runner: per-leaf learning rates (0 freezes a leaf via
+    zeroed gradients), fresh Adam state, lax.scan over steps."""
+    label = {k: k for k in params}
+    opt = optax.multi_transform(
+        {k: optax.adam(lr) if lr > 0 else optax.set_to_zero()
+         for k, lr in lrs.items()}, label)
+    state = opt.init(params)
+
+    def body(carry, step_idx):
+        p, s = carry
+        decay = decay_fn(step_idx)
+        loss, grads = jax.value_and_grad(loss_fn)(p, decay)
+        grads = {k: g * (1.0 if lrs[k] > 0 else 0.0)
+                 for k, g in grads.items()}
+        updates, s = opt.update(grads, s)
+        p = optax.apply_updates(p, updates)
+        return (p, s), loss
+
+    (params, _), losses = jax.lax.scan(body, (params, state),
+                                       jnp.arange(n_steps))
+    return params, losses
+
+
+# ---------------------------------------------------------------------------
+# SMPL phase
+# ---------------------------------------------------------------------------
+
+def make_smpl_optimizer(query_fn, project_fn, model: SMPLModel,
+                        landmarks: BodyLandmarks,
+                        body_prior: MahalanobisPrior, hand_prior: HandPrior,
+                        part_labels: np.ndarray,
+                        cfg: JointFitConfig = JointFitConfig()):
+    """Build the jit'd optimize_smpl program.
+
+    query_fn(points (B,N,3)) -> head dict (df (B,N,2), parts (B,N,14), ...)
+    closing over the encoded image cache and crop/body centers.
+    project_fn(joints (B,J,3)) -> crop-normalized 2D (B,J,2), closing over
+    the camera and crop centers (the space the loaded keypoints live in).
+    """
+    labels = jnp.asarray(part_labels)
+
+    def loss_terms(p: SMPLTParams, aux, phase_kpts: bool):
+        verts, _, _, _ = lbs_forward(model, p.pose, p.betas, p.trans)
+        preds = query_fn(verts)
+        terms = {}
+        terms["df_h"] = jnp.minimum(preds["df"][..., 0], cfg.df_h_clamp).mean()
+        logp = jax.nn.log_softmax(preds["parts"], axis=-1)
+        ce = -jnp.take_along_axis(
+            logp, jnp.broadcast_to(labels, verts.shape[:2])[..., None],
+            axis=-1)[..., 0]
+        terms["part"] = ce.sum(-1).mean()
+        terms["pose"] = body_prior(p.pose[:, :72]).mean()
+        terms["hand"] = hand_prior(p.pose).mean()
+        joints = landmarks.body_joints(verts)
+        terms["smplz"] = ((joints[:, SMPL_CENTER_JOINT, 2] - cfg.z0) ** 2).mean()
+        terms["pinit"] = jnp.sum((p.body_pose - aux["pose_init"]) ** 2,
+                                 -1).mean()
+        if phase_kpts:
+            proj = project_fn(joints)  # crop-normalized (B, 25, 2)
+            err = ((proj - aux["body_kpts"][..., :2]) ** 2).sum(-1)
+            terms["j2d"] = (err * aux["body_kpts"][..., 2]).mean()
+        if verts.shape[0] >= 4:
+            v1 = verts[1:-1] - verts[:-2]
+            v2 = verts[2:] - verts[1:-1]
+            terms["stemp"] = ((v1 - v2) ** 2).mean()
+        return terms, verts
+
+    def weighted(terms, decay):
+        w = dict(df_h=cfg.w_df_h, part=cfg.w_part, pose=cfg.w_pose,
+                 hand=cfg.w_hand, smplz=cfg.w_smplz, pinit=cfg.w_pinit,
+                 j2d=cfg.w_j2d, stemp=cfg.w_stemp)
+        scale = 1.0 / (1.0 + decay)
+        return sum(terms[k] * w[k] * scale for k in terms if k in w)
+
+    @jax.jit
+    def optimize_smpl(smpl: SMPLTParams, body_kpts):
+        aux = dict(pose_init=smpl.body_pose, body_kpts=body_kpts)
+        spi = cfg.steps_per_iter
+
+        def mkloss(phase_kpts):
+            def f(pdict, decay):
+                p = SMPLTParams(**pdict)
+                terms, _ = loss_terms(p, aux, phase_kpts)
+                return weighted(terms, decay)
+            return f
+
+        pdict = dataclasses.asdict(smpl)
+        zero = {k: 0.0 for k in pdict}
+        # phase 1: betas (top) + trans, lr .02
+        pdict, l1 = _adam_scan(
+            mkloss(False), pdict,
+            {**zero, "top_betas": cfg.lr_betas, "trans": cfg.lr_betas},
+            cfg.iter_betas * spi, lambda s: jnp.float32(1.0))
+        # phase 2: all pose (not hands), lr .006
+        pdict, l2 = _adam_scan(
+            mkloss(False), pdict,
+            {**zero, "trans": cfg.lr_pose, "global_pose": cfg.lr_pose,
+             "body_pose": cfg.lr_pose, "top_betas": cfg.lr_pose,
+             "other_betas": cfg.lr_pose},
+            cfg.iter_pose * spi, lambda s: jnp.float32(1.0))
+        # phase 3: + keypoints, decay it/3 (it counts from 0 globally)
+        off = (cfg.iter_betas + cfg.iter_pose) * spi
+        pdict, l3 = _adam_scan(
+            mkloss(True), pdict,
+            {**zero, "trans": cfg.lr_pose, "global_pose": cfg.lr_pose,
+             "body_pose": cfg.lr_pose, "top_betas": cfg.lr_pose,
+             "other_betas": cfg.lr_pose},
+            (cfg.iter_kpts + cfg.smpl_max_iter) * spi,
+            lambda s: ((s + off) // spi).astype(jnp.float32) / 3.0)
+        return SMPLTParams(**pdict), jnp.concatenate([l1, l2, l3])
+
+    return optimize_smpl
+
+
+# ---------------------------------------------------------------------------
+# Object phases
+# ---------------------------------------------------------------------------
+
+def make_object_optimizer(query_fn, project_px,
+                          cfg: JointFitConfig = JointFitConfig()):
+    """Build the jit'd optimize_smpl_object program.
+
+    query_fn(points (B,N,3)) -> head dict. project_px(points (B,N,3)) ->
+    original-image pixel coords (B,N,2), for the ROI silhouette. Runtime
+    inputs per chunk: template points (B, N_o, 3) (obj_points repeated),
+    occ_ratios (B,), smpl_verts (B, V, 3) (FROZEN during object phases, as
+    in the reference), part labels of SMPL verts, silhouette refs,
+    optional SDF grid.
+    """
+
+    def obj_losses(obj, preds, obj_s, occ, terms):
+        df_o = jnp.minimum(preds["df"][..., 1], cfg.df_o_clamp)
+        terms["object"] = (df_o.mean(-1) * occ).mean()
+        terms["scale"] = ((obj_s - cfg.obj_scale) ** 2).mean()
+
+    def temporal(obj, phase_joint, terms):
+        if obj.shape[0] >= 4:
+            w = 10.0 if phase_joint else 1.0
+            v1 = obj[1:-1] - obj[:-2]
+            v2 = obj[2:] - obj[1:-1]
+            terms["otemp"] = ((v1 - v2) ** 2).mean() * w
+            terms["ovtemp"] = ((obj[1:] - obj[:-1]) ** 2).mean() * w
+
+    def contact_loss(obj, smpl_verts, labels_h, labels_o, mask_h, mask_o):
+        """Part-paired squared chamfer between contact regions.
+
+        Per example & part: mean sq NN dist of human contact points of part
+        i to object contact points of part i + the reverse; averaged over
+        (example, part) pairs where both sides are non-empty
+        (recon_fit_trivis_full.py:382-457 with pytorch3d chamfer =
+        SQUARED distances).
+        """
+        B = obj.shape[0]
+
+        def one(sv, ov, mh, mo, lh, lo):
+            d_h = label_compatible_nn(sv, lh, ov, lo, mo)     # (V,)
+            d_o = label_compatible_nn(ov, lo, sv, lh, mh)     # (N_o,)
+            oh_h = jax.nn.one_hot(lh, NUM_PARTS) * mh[:, None].astype(jnp.float32)
+            oh_o = jax.nn.one_hot(lo, NUM_PARTS) * mo[:, None].astype(jnp.float32)
+            cnt_h = oh_h.sum(0)                               # (14,)
+            cnt_o = oh_o.sum(0)
+            pair_ok = (cnt_h > 0) & (cnt_o > 0)
+            mean_h = (d_h @ oh_h) / jnp.maximum(cnt_h, 1.0)
+            mean_o = (d_o @ oh_o) / jnp.maximum(cnt_o, 1.0)
+            per_pair = jnp.where(pair_ok, mean_h + mean_o, 0.0)
+            n_pairs = jnp.maximum(pair_ok.sum(), 1)
+            return per_pair.sum() / n_pairs, pair_ok.any()
+
+        losses, has = jax.vmap(one)(smpl_verts, obj, mask_h, mask_o,
+                                    jnp.broadcast_to(labels_h,
+                                                     smpl_verts.shape[:2]),
+                                    labels_o)
+        hasf = has.astype(jnp.float32)
+        return (losses * hasf).sum() / jnp.maximum(hasf.sum(), 1.0)
+
+    def sil_loss(obj_r, obj_t, obj_s, sil: SilRefs, sil_verts, sil_faces,
+                 occ):
+        """Occlusion-aware ROI silhouette L2 (SilLossROI.forward)."""
+        verts = transform_obj_verts(sil_verts, obj_r, obj_t, obj_s)
+        px = project_px(verts)  # (B, V, 2) original-image pixels
+
+        def one(p, roi):
+            ndc = 2.0 * (p - roi[None, :2]) / roi[2] - 1.0
+            return soft_silhouette(ndc, sil_faces, cfg.sil_size,
+                                   cfg.sil_sigma)
+
+        imgs = jax.vmap(one)(px, sil.roi_xyb)
+        imgs = imgs * sil.keep_mask
+        per_ex = ((imgs - sil.image_ref) ** 2).sum((1, 2))
+        return (per_ex * occ).mean()
+
+    def run_phase(loss_fn, params, lrs, n_iters, decay_fn):
+        return _adam_scan(loss_fn, params, lrs,
+                          n_iters * cfg.steps_per_iter, decay_fn)
+
+    @jax.jit
+    def optimize_object(obj_r, obj_t, obj_s, obj_points, smpl_verts,
+                        labels_h, occ_ratios, sil: SilRefs, sil_verts,
+                        sil_faces, sdf_grid: SDFGrid | None = None):
+        spi = cfg.steps_per_iter
+        B = obj_t.shape[0]
+        labels_h = jnp.asarray(labels_h)
+
+        def transformed(p):
+            r = decopose_axis(p["obj_r"])
+            return transform_obj_verts(obj_points, r, p["obj_t"], obj_s), r
+
+        # ---------------- phase 1: object only ----------------
+        def loss_obj(p, decay):
+            obj, _ = transformed(p)
+            preds = query_fn(obj)
+            terms = {}
+            obj_losses(obj, preds, obj_s, occ_ratios, terms)
+            temporal(obj, False, terms)
+            return _weighted(terms, decay)
+
+        def _weighted(terms, decay):
+            w = dict(object=cfg.w_object, scale=cfg.w_scale,
+                     otemp=cfg.w_otemp, ovtemp=cfg.w_ovtemp,
+                     mask=cfg.w_mask, trans=cfg.w_trans,
+                     contact=cfg.w_contact, collide=cfg.w_collide,
+                     ocent=cfg.w_ocent)
+            s = 1.0 / (1.0 + decay)
+            return sum(terms[k] * w[k] * s for k in terms if k in w)
+
+        params = {"obj_r": obj_r, "obj_t": obj_t}
+        params, l1 = run_phase(
+            loss_obj, params,
+            {"obj_r": cfg.lr_obj_r, "obj_t": cfg.lr_obj_t},
+            cfg.iter_obj, lambda s: jnp.float32(1.0))
+
+        # ---------------- phase 2: silhouette ----------------
+        trans_init = jax.lax.stop_gradient(params["obj_t"])
+
+        def loss_sil(p, decay):
+            obj, r = transformed(p)
+            terms = {}
+            terms["mask"] = sil_loss(r, p["obj_t"], obj_s, sil, sil_verts,
+                                     sil_faces, occ_ratios)
+            terms["scale"] = ((obj_s - cfg.obj_scale) ** 2).mean()
+            terms["trans"] = ((p["obj_t"] - trans_init) ** 2).mean()
+            temporal(obj, False, terms)
+            return _weighted(terms, decay)
+
+        params, l2 = run_phase(
+            loss_sil, params,
+            {"obj_r": cfg.lr_sil, "obj_t": cfg.lr_sil}, cfg.iter_sil,
+            lambda s: (s // spi).astype(jnp.float32) + 1.0)
+
+        # ---------------- phase 3: joint ----------------
+        # contact dfs computed ONCE from the phase-2 result and frozen
+        # (recon_fit_trivis_full.py:242-253)
+        obj_now, _ = transformed(params)
+        preds_o = query_fn(obj_now)
+        df_obj_h = jax.lax.stop_gradient(preds_o["df"][..., 0])   # human df at obj pts
+        labels_o = jnp.argmax(
+            jax.lax.stop_gradient(preds_o["parts"]), -1)          # (B, N_o)
+        preds_h = query_fn(smpl_verts)
+        df_hum_o = jax.lax.stop_gradient(preds_h["df"][..., 1])   # obj df at smpl verts
+        mask_h = df_hum_o < cfg.cont_thres
+        mask_o = df_obj_h < cfg.cont_thres
+
+        def loss_joint(p, decay):
+            obj, r = transformed(p)
+            preds = query_fn(obj)
+            terms = {}
+            obj_losses(obj, preds, obj_s, occ_ratios, terms)
+            temporal(obj, True, terms)
+            terms["contact"] = contact_loss(obj, smpl_verts, labels_h,
+                                            labels_o, mask_h, mask_o)
+            if cfg.collision and sdf_grid is not None:
+                r_t = jnp.swapaxes(r, -1, -2)
+                local = jnp.einsum(
+                    "bnk,bkj->bnj",
+                    smpl_verts / obj_s[:, None, None] - p["obj_t"][:, None, :],
+                    r_t, precision=jax.lax.Precision.HIGHEST)
+                terms["collide"] = penetration_loss(sdf_grid, local)
+            return _weighted(terms, decay)
+
+        off = cfg.iter_obj * spi  # decay references it - iter_obj + 1
+        params, l3 = run_phase(
+            loss_joint, params, {"obj_r": 0.0, "obj_t": cfg.lr_joint},
+            cfg.joint_max_iter,
+            lambda s: (((s + (cfg.iter_obj + cfg.iter_sil) * spi) // spi
+                        - cfg.iter_obj + 1).astype(jnp.float32)) / 3.0)
+
+        r_final = decopose_axis(params["obj_r"])
+        return r_final, params["obj_t"], jnp.concatenate([l1, l2, l3])
+
+    return optimize_object

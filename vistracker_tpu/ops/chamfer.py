@@ -100,6 +100,38 @@ def one_way_sq(src: jax.Array, tgt: jax.Array,
         src, tgt, tgt_mask)
 
 
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def label_compatible_nn(x: jax.Array, labels_x: jax.Array, y: jax.Array,
+                        labels_y: jax.Array, y_valid: jax.Array,
+                        chunk: int = 1024) -> jax.Array:
+    """Min squared distance from each x point to y points of the SAME label.
+
+    x (N, 3), labels_x (N,) int; y (M, 3), labels_y (M,) int;
+    y_valid (M,) bool. Returns (N,) — _BIG where no compatible point exists.
+
+    This is the contact-pairing primitive (recon_fit_trivis_full.py:
+    compute_contact_loss pairs human/object contact points per SMPL part
+    with per-part chamfer): one masked NN sweep instead of a python loop
+    over parts and examples.
+    """
+    N = x.shape[0]
+    pad = (-N) % chunk
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    lp = jnp.pad(labels_x, (0, pad))
+    xt = xp.reshape(-1, chunk, 3)
+    lt = lp.reshape(-1, chunk)
+
+    def tile(args):
+        xc, lc = args
+        d = _pairwise_sqdist(xc, y)                       # (chunk, M)
+        compat = (lc[:, None] == labels_y[None, :]) & y_valid[None, :]
+        d = jnp.where(compat, d, _BIG)
+        return jnp.min(d, axis=-1)
+
+    dists = jax.lax.map(tile, (xt, lt))
+    return dists.reshape(-1)[:N]
+
+
 def nearest_index(src: jax.Array, tgt: jax.Array,
                   tgt_mask: jax.Array | None = None,
                   chunk: int = 2048):
