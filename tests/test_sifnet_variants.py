@@ -1,0 +1,69 @@
+"""CHORE model-family variant tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vistracker_tpu.models.sifnet import SIFNet, SIFNetConfig, sifnet_losses
+
+
+def _inputs(rng, B=1, H=32, W=32, N=20):
+    return (jnp.asarray(rng.rand(B, H, W, 8).astype(np.float32)),
+            jnp.asarray((rng.randn(B, N, 3) * 0.5
+                         + np.array([0, 0, 2.2])).astype(np.float32)),
+            jnp.tile(jnp.asarray([[1018.0, 779.0]]), (B, 1)),
+            jnp.tile(jnp.asarray([[0.0, 0.0, 2.2]]), (B, 1)))
+
+
+def _gt(rng, B=1, N=20):
+    return dict(df_h=jnp.abs(jnp.asarray(rng.randn(B, N).astype(np.float32))) * 0.1,
+                df_o=jnp.abs(jnp.asarray(rng.randn(B, N).astype(np.float32))) * 0.1,
+                parts=jnp.asarray(rng.randint(0, 14, (B, N)).astype(np.int32)),
+                pca=jnp.asarray(rng.randn(B, N, 3, 3).astype(np.float32)),
+                obj_center=jnp.asarray(rng.randn(B, 3).astype(np.float32) * 0.1),
+                body_center=jnp.asarray(rng.randn(B, 3).astype(np.float32) * 0.1),
+                visibility=jnp.asarray(rng.rand(B, N).astype(np.float32)))
+
+
+def _small(variant):
+    return SIFNetConfig(variant=variant, num_stack=1, num_hourglass=1,
+                        hourglass_dim=32, tmpx_dim=32, triplane_stack=1,
+                        triplane_hg_dim=32, triplane_tmpx_dim=32,
+                        hidden_dim=16)
+
+
+def test_chore_variant_no_triplane(rng):
+    cfg = _small("chore")
+    model = SIFNet(cfg)
+    imgs, pts, cc, bc = _inputs(rng)
+    params = model.init(jax.random.PRNGKey(0), imgs, pts, cc, bc)
+    assert "triplane_encoder" not in params["params"]
+    assert "visib_predictor" not in params["params"]
+    preds = model.apply(params, imgs, pts, cc, bc)[0]
+    assert preds["centers"].shape[-1] == 6
+    assert "vis" not in preds
+    total, terms = sifnet_losses([preds], _gt(rng))
+    assert np.isfinite(float(total))
+
+
+def test_chore_triplane_variant(rng):
+    cfg = _small("chore-triplane")
+    model = SIFNet(cfg)
+    imgs, pts, cc, bc = _inputs(rng)
+    params = model.init(jax.random.PRNGKey(0), imgs, pts, cc, bc)
+    assert "triplane_encoder" in params["params"]
+    preds = model.apply(params, imgs, pts, cc, bc)[0]
+    assert preds["centers"].shape[-1] == 6 and "vis" not in preds
+    # triplane variant has larger features than plain chore
+    assert cfg.feature_size > _small("chore").feature_size
+
+
+def test_vis_variant_heads(rng):
+    cfg = _small("chore-triplane-vis")
+    model = SIFNet(cfg)
+    imgs, pts, cc, bc = _inputs(rng)
+    params = model.init(jax.random.PRNGKey(0), imgs, pts, cc, bc)
+    preds = model.apply(params, imgs, pts, cc, bc)[0]
+    assert preds["centers"].shape[-1] == 3
+    assert preds["vis"].shape[-1] == 1
+    v = np.asarray(preds["vis"])
+    assert (v >= 0).all() and (v <= 1).all()  # sigmoid head

@@ -1,0 +1,130 @@
+"""Training loop, dataset pipeline, and checkpoint/resume tests."""
+import os
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vistracker_tpu.data.datasets import (PrefetchLoader, sifnet_example,
+                                          gen_drop_mask, InfillerClips)
+from vistracker_tpu.data.images import (crop_around, prepare_input_crop,
+                                        crop_center_from_masks)
+from vistracker_tpu.fit.trainer_loop import (LoopConfig, train_loop,
+                                             CheckpointIO,
+                                             make_infiller_train_step)
+from vistracker_tpu.models.infiller import ConditionalMInfiller, InfillerConfig
+from vistracker_tpu.core.rotations import axis_angle_to_rotmat
+
+
+def test_crop_around_padding(rng):
+    img = rng.rand(100, 120, 3).astype(np.float32)
+    c = crop_around(img, (10, 10), 60)
+    assert c.shape == (60, 60, 3)
+    assert c[0, 0, 0] == 0.0  # zero-padded corner
+    # interior crop reproduces pixels
+    c2 = crop_around(img, (60, 50), 40)
+    np.testing.assert_array_equal(c2, img[30:70, 40:80])
+
+
+def test_prepare_input_crop(rng):
+    rgb = (rng.rand(300, 400, 3) * 255).astype(np.uint8)
+    pm = np.zeros((300, 400), bool); pm[100:200, 150:250] = True
+    om = np.zeros((300, 400), bool); om[120:180, 230:300] = True
+    img, center = prepare_input_crop(rgb, pm, om, crop_size=200, net_size=64)
+    assert img.shape == (64, 64, 5)
+    # crop center = union bbox center
+    np.testing.assert_array_equal(center, crop_center_from_masks(
+        pm.astype(np.float32), om.astype(np.float32)).astype(np.float32))
+    # background pixels are zeroed in RGB channels
+    assert img[..., :3].max() <= 1.0
+    bg = (img[..., 3] < 0.5) & (img[..., 4] < 0.5)
+    assert np.abs(img[..., :3][bg]).max() < 0.6  # bilinear edge bleed only
+
+
+def test_prefetch_loader_retry_and_shapes(rng):
+    calls = []
+
+    def example(i):
+        calls.append(i)
+        if i == 3:
+            raise ValueError("bad example")  # must be resampled, not fatal
+        return {"x": np.full((4,), i, np.float32)}
+
+    loader = PrefetchLoader(example, 10, batch_size=2, shuffle=False,
+                            num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 5
+    for b in batches:
+        assert b["x"].shape == (2, 4)
+
+
+def test_gen_drop_mask_bounds(rng):
+    for i in range(20):
+        m = gen_drop_mask(180, 10, 120, np.random.RandomState(i))
+        assert 10 <= m.sum() <= 120
+
+
+def test_infiller_clips_and_training_step(rng, tmp_path):
+    T = 50
+    seqs = [dict(poses=(rng.randn(T, 72) * 0.2).astype(np.float32),
+                 trans=rng.randn(T, 3).astype(np.float32),
+                 obj_rot_real=np.asarray(axis_angle_to_rotmat(
+                     jnp.asarray((rng.randn(T, 3) * 0.3).astype(np.float32)))))]
+    clips = InfillerClips(seqs, clip_len=40, min_drop=5, max_drop=20)
+    assert len(clips) == T - 40 + 1
+    ex = clips.example(0)
+    assert ex["data_smpl"].shape == (40, 147)
+    assert ex["data_obj"].shape == (40, 6)
+    # occluded object inputs are zeroed
+    np.testing.assert_allclose(ex["data_obj"][ex["mask_obj"]], 0.0)
+
+    cfg = InfillerConfig(clip_len=40, window=10)
+    model = ConditionalMInfiller(cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 40, 147)), jnp.zeros((1, 40), bool),
+                        jnp.zeros((1, 40, 6)), jnp.zeros((1, 40), bool))
+    init_state, step_fn, val_fn = make_infiller_train_step(
+        model, learning_rate=1e-3)
+    state = init_state(params)
+
+    loader = PrefetchLoader(clips.example, len(clips), batch_size=4,
+                            num_workers=2)
+    lcfg = LoopConfig(num_epochs=2, ck_period_min=1e9,
+                      out_dir=str(tmp_path / "exp"), max_val_batches=2)
+    to_dev = lambda b: {k: jnp.asarray(v) for k, v in b.items()}
+    state = train_loop(state, step_fn, loader, val_loader=loader,
+                       val_loss_fn=val_fn, cfg=lcfg, to_device=to_dev)
+    assert int(np.asarray(state["step"])) == 2 * len(loader)
+    # metrics written, checkpoint + best model recorded
+    assert os.path.isfile(str(tmp_path / "exp" / "metrics.jsonl"))
+    assert os.path.isfile(str(tmp_path / "exp" / "best_model.json"))
+
+    # resume restores the saved step
+    ckio = CheckpointIO(str(tmp_path / "exp"))
+    restored, at = ckio.restore_latest(state)
+    assert at == int(np.asarray(state["step"]))
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(restored["params"])[0]),
+        np.asarray(jax.tree.leaves(state["params"])[0]))
+
+
+def test_sifnet_example_from_synthetic_frame(rng):
+    from vistracker_tpu.cli.synthetic import box_mesh
+    sv = rng.randn(60, 3).astype(np.float32) * 0.3 + np.array([0, 0, 2.2],
+                                                              np.float32)
+    sf = rng.randint(0, 60, (80, 3)).astype(np.int32)
+    ov, of = box_mesh()
+    frame = dict(image=rng.rand(32, 32, 8).astype(np.float32),
+                 crop_center=np.array([1000.0, 800.0], np.float32),
+                 body_center=np.array([0, 0, 2.2], np.float32),
+                 smpl_verts=sv, smpl_faces=sf,
+                 obj_verts=ov + np.array([0.4, 0, 2.2], np.float32),
+                 obj_faces=of, visibility=0.8)
+    labels = rng.randint(0, 14, 60).astype(np.int32)
+    ex = sifnet_example(frame, labels, num_samples=500,
+                        rng=np.random.RandomState(0))
+    n = len(ex["points"])
+    assert ex["df_h"].shape == (n,) and ex["df_o"].shape == (n,)
+    assert ex["pca"].shape == (n, 3, 3)
+    assert 0 <= ex["parts"].min() and ex["parts"].max() < 14
+    # distances are plausible: points near surfaces have small df
+    assert ex["df_h"].min() < 0.05 and ex["df_o"].min() < 0.05

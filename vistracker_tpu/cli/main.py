@@ -317,6 +317,28 @@ def build_parser():
     tr.add_argument("--joint-iters", type=int, default=3)
     tr.add_argument("--eval-window", type=int, default=300)
 
+    ts = sub.add_parser("train-sifnet",
+                        help="train SIF-Net (DP over the device mesh)")
+    ts.add_argument("--synthetic", action="store_true")
+    ts.add_argument("--cpu", action="store_true")
+    ts.add_argument("--out", default="experiments/sifnet")
+    ts.add_argument("--epochs", type=int, default=2)
+    ts.add_argument("--batch-size", type=int, default=2)
+    ts.add_argument("--frames", type=int, default=8)
+    ts.add_argument("--image-size", type=int, default=32)
+    ts.add_argument("--samples", type=int, default=512)
+    ts.add_argument("--lr", type=float, default=1e-3)
+
+    ti = sub.add_parser("train-infiller", help="train HVOP-Net")
+    ti.add_argument("--synthetic", action="store_true")
+    ti.add_argument("--cpu", action="store_true")
+    ti.add_argument("--out", default="experiments/infiller")
+    ti.add_argument("--epochs", type=int, default=2)
+    ti.add_argument("--batch-size", type=int, default=8)
+    ti.add_argument("--clip-len", type=int, default=40)
+    ti.add_argument("--frames", type=int, default=120)
+    ti.add_argument("--lr", type=float, default=1e-4)
+
     ev = sub.add_parser("evaluate", help="windowed eval of packed recon vs GT")
     ev.add_argument("--recon", required=True, help="packed recon pkl")
     ev.add_argument("--gt", required=True, help="packed GT pkl")
@@ -325,6 +347,129 @@ def build_parser():
     ev.add_argument("--window", type=int, default=300)
     ev.add_argument("--out", default="results")
     return p
+
+
+def run_train_sifnet(args):
+    """Train SIF-Net. --synthetic builds the frame set from the generated
+    scene (rasterized masks + triplanes + online GT boundary sampling —
+    the same host pipeline real BEHAVE frames go through)."""
+    import jax
+    import jax.numpy as jnp
+    from ..cli.synthetic import make_scene
+    from ..core.smpl import lbs_forward
+    from ..core.camera import PerspectiveCamera
+    from ..data.packed import recon_obj_verts
+    from ..data.datasets import PrefetchLoader, sifnet_example
+    from ..fit.train import TrainConfig, init_train_state, make_train_step
+    from ..fit.trainer_loop import LoopConfig, train_loop
+    from ..models.sifnet import SIFNet, SIFNetConfig
+    from ..ops.rasterizer import rasterize_mask, render_triplane_masks
+
+    if not args.synthetic:
+        raise SystemExit("real-data training needs BEHAVE; use --synthetic")
+    scene = make_scene(args.frames, num_verts=128, seed=0)
+    cam = PerspectiveCamera(crop_size=1200)
+    T, S = args.frames, args.image_size
+
+    verts, _, _, _ = lbs_forward(scene.model, jnp.asarray(scene.poses_gt),
+                                 jnp.asarray(scene.betas_gt),
+                                 jnp.asarray(scene.trans_gt))
+    bc = scene.landmarks.smpl_center(verts)
+    cc = np.asarray(cam.project_screen(bc[:, None, :]))[:, 0]
+    smpl_faces = jnp.asarray(scene.smpl_faces[:256])
+    obj_world = recon_obj_verts(scene.temp_verts, scene.obj_rot_gt,
+                                scene.obj_trans_gt, np.ones(T))
+
+    frames = []
+    for i in range(T):
+        ndc_s = np.asarray(cam.project_points(
+            verts[i:i + 1], jnp.asarray(cc[i:i + 1])))[0, :, :2]
+        ndc_o = np.asarray(cam.project_points(
+            jnp.asarray(obj_world[i:i + 1]), jnp.asarray(cc[i:i + 1])))[0, :, :2]
+        pm = np.asarray(rasterize_mask(jnp.asarray(ndc_s), smpl_faces, S))
+        om = np.asarray(rasterize_mask(jnp.asarray(ndc_o),
+                                       jnp.asarray(scene.temp_faces), S))
+        tri = np.asarray(render_triplane_masks(verts[i], smpl_faces,
+                                               bc[i], S))
+        rgb = np.repeat(pm[..., None], 3, -1) * 0.5 \
+            + np.repeat(om[..., None], 3, -1) * 0.3
+        image = np.concatenate([rgb, pm[..., None], om[..., None], tri],
+                               -1).astype(np.float32)
+        frames.append(dict(
+            image=image, crop_center=cc[i].astype(np.float32),
+            body_center=np.asarray(bc[i], np.float32),
+            smpl_verts=np.asarray(verts[i]), smpl_faces=scene.smpl_faces,
+            obj_verts=obj_world[i].astype(np.float32),
+            obj_faces=scene.temp_faces,
+            visibility=float(scene.occ_ratios[i])))
+
+    def example(i):
+        return sifnet_example(frames[i], scene.part_labels,
+                              num_samples=args.samples,
+                              rng=np.random.RandomState(i))
+
+    loader = PrefetchLoader(example, T, args.batch_size, num_workers=2)
+    cfg = SIFNetConfig(num_stack=1, num_hourglass=1, hourglass_dim=32,
+                       tmpx_dim=32, triplane_stack=1, triplane_hg_dim=32,
+                       triplane_tmpx_dim=32, hidden_dim=16)
+    model = SIFNet(cfg, cam)
+    tcfg = TrainConfig(learning_rate=args.lr)
+    to_dev = lambda b: {k: jnp.asarray(v) for k, v in b.items()}
+    state = init_train_state(model, jax.random.PRNGKey(0),
+                             to_dev(next(iter(loader))), tcfg)
+    step = make_train_step(model, tcfg)
+    lcfg = LoopConfig(num_epochs=args.epochs, out_dir=args.out,
+                      ck_period_min=1e9)
+
+    def val_fn(state, batch):
+        _, loss, _ = step(state, batch)
+        return loss
+
+    state = train_loop(state, step, loader, val_loader=loader,
+                       val_loss_fn=val_fn, cfg=lcfg, to_device=to_dev)
+    print(json.dumps({"out": args.out,
+                      "steps": int(np.asarray(state.step))}))
+
+
+def run_train_infiller(args):
+    import jax
+    import jax.numpy as jnp
+    from scipy.spatial.transform import Rotation
+    from ..data.datasets import PrefetchLoader, InfillerClips
+    from ..fit.trainer_loop import (LoopConfig, train_loop,
+                                    make_infiller_train_step)
+    from ..models.infiller import ConditionalMInfiller, InfillerConfig
+
+    if not args.synthetic:
+        raise SystemExit("real-data training needs packed GT; use --synthetic")
+    rng = np.random.RandomState(0)
+    T = args.frames
+    t = np.linspace(0, 4 * np.pi, T)
+    seqs = [dict(
+        poses=(0.2 * np.sin(t)[:, None] * rng.randn(72)[None]).astype(np.float32),
+        trans=np.stack([0.3 * np.sin(t), 0.1 * np.cos(t), 2.2 + 0 * t],
+                       -1).astype(np.float32),
+        obj_rot_real=Rotation.from_euler(
+            "y", (0.5 * t)[:, None]).as_matrix().astype(np.float32))]
+    clips = InfillerClips(seqs, clip_len=args.clip_len)
+    cfg = InfillerConfig(clip_len=args.clip_len, window=10)
+    model = ConditionalMInfiller(cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, args.clip_len, 147)),
+                        jnp.zeros((1, args.clip_len), bool),
+                        jnp.zeros((1, args.clip_len, 6)),
+                        jnp.zeros((1, args.clip_len), bool))
+    init_state, step_fn, val_fn = make_infiller_train_step(model, args.lr)
+    state = init_state(params)
+    loader = PrefetchLoader(clips.example, len(clips), args.batch_size,
+                            num_workers=2)
+    lcfg = LoopConfig(num_epochs=args.epochs, out_dir=args.out,
+                      ck_period_min=1e9)
+    to_dev = lambda b: {k: jnp.asarray(v) for k, v in b.items()}
+    state = train_loop(state, step_fn, loader, val_loader=loader,
+                       val_loss_fn=val_fn, cfg=lcfg, to_device=to_dev)
+    print(json.dumps({"out": args.out,
+                      "steps": int(np.asarray(state["step"]))}))
 
 
 def run_evaluate(args):
@@ -374,6 +519,10 @@ def main(argv=None):
         else:
             raise SystemExit("real-data tracking requires a BEHAVE sequence "
                              "folder with masks/keypoints; see README")
+    elif args.cmd == "train-sifnet":
+        run_train_sifnet(args)
+    elif args.cmd == "train-infiller":
+        run_train_infiller(args)
     elif args.cmd == "evaluate":
         run_evaluate(args)
 

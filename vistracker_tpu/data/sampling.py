@@ -68,24 +68,39 @@ def closest_point_triangle(p: np.ndarray, a: np.ndarray, b: np.ndarray,
     out = np.where(((d1 >= 0) & (d3 <= 0) & (vc <= 0))[..., None],
                    a + t_ab[..., None] * ab, out)
     out = np.where(((d6 >= 0) & (d5 <= d6))[..., None], c, out)
-    out = np.where(((d3 <= 0) & (d4 <= d3))[..., None], b, out)
+    out = np.where(((d3 >= 0) & (d4 <= d3))[..., None], b, out)
     out = np.where(((d1 <= 0) & (d2 <= 0))[..., None], a, out)
     return out
 
 
 class MeshDistance:
-    """Reusable unsigned-distance query structure for one mesh."""
+    """Reusable unsigned-distance query structure for one mesh.
+
+    Prefers the native C++ BVH (native/pointmesh.cpp — exact and ~10x the
+    kd-tree-candidates path); falls back to scipy when no compiler exists.
+    """
 
     def __init__(self, verts: np.ndarray, faces: np.ndarray, k: int = 16):
         self.verts = np.asarray(verts, np.float64)
         self.faces = np.asarray(faces, np.int64)
         self.k = min(k, len(faces))
-        centroids = self.verts[self.faces].mean(1)
-        self.tree = cKDTree(centroids)
+        self._native = None
+        try:
+            from ..native.pointmesh import PointMeshBVH, available
+            if available():
+                self._native = PointMeshBVH(verts, faces)
+        except Exception:
+            self._native = None
+        if self._native is None:
+            centroids = self.verts[self.faces].mean(1)
+            self.tree = cKDTree(centroids)
         self.vert_tree = cKDTree(self.verts)
 
     def query(self, points: np.ndarray):
         """Returns (unsigned distance (N,), closest surface point (N, 3))."""
+        if self._native is not None:
+            dist, closest, _ = self._native.query(points)
+            return dist, closest
         p = np.asarray(points, np.float64)
         _, fidx = self.tree.query(p, k=self.k)
         if self.k == 1:

@@ -112,6 +112,15 @@ def eval_sequence(sverts_gt: np.ndarray, overts_gt: np.ndarray,
         [err, np.asarray(smpl_acc)[:, None], np.asarray(obj_acc)[:, None]], 1)
 
 
+def rotation_errors_deg(rot_recon: np.ndarray, rot_gt: np.ndarray) -> np.ndarray:
+    """Per-frame geodesic rotation error in degrees (the angle evaluator,
+    evalvideo_packed_angle.py / pose_utils.py:rot_error). Both (T, 3, 3)
+    REAL rotation matrices (un-transpose packed obj_angles first)."""
+    rel = np.einsum("tij,tkj->tik", rot_recon, rot_gt)
+    tr = np.clip((np.trace(rel, axis1=1, axis2=2) - 1.0) * 0.5, -1.0, 1.0)
+    return np.degrees(np.arccos(tr))
+
+
 def format_errors(errors: np.ndarray) -> dict:
     out = {}
     for i, k in enumerate(ERROR_KEYS):

@@ -119,9 +119,13 @@ def make_generator(query_fn, cfg: GeneratorConfig = GeneratorConfig()):
             fresh = init_box_samples(k3, B, cfg.samples_per_round,
                                      body_center, cfg)
             nxt = jnp.where(any_valid[..., None], picked, fresh)
+            vis = preds.get("vis", jnp.ones(df.shape + (1,)))
+            # chore variant: 6-ch centers — object center is channels 3:6
+            centers = (preds["centers"] if preds["centers"].shape[-1] == 3
+                       else preds["centers"][..., 3:])
             out = dict(points=surf, valid=valid, df=df,
                        parts=preds["parts"], pca=preds["pca"],
-                       centers=preds["centers"], vis=preds["vis"])
+                       centers=centers, vis=vis)
             return nxt, out
 
         keys = jax.random.split(k_loop, cfg.num_rounds)

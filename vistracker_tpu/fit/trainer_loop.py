@@ -1,0 +1,202 @@
+"""Generic training loop with checkpoint/resume and best-model tracking.
+
+Parity targets: trainer/trainer.py — epoch loop, time-based periodic
+checkpoint + eval every ck_period minutes, checkpoints named by cumulative
+training time, best-model tracking via a val-min record, val loss on a
+bounded number of batches; trainer/trainer_infiller.py — L1 pose + L1
+acceleration loss (weights 1.0 / 0.1).
+
+TPU-native replacements: orbax for checkpoints (instead of torch.save
+tars), a metrics.jsonl event log (instead of TensorBoard), and jit'd steps
+with batches sharded over the mesh (instead of DDP/NCCL). The reference's
+always-on autograd anomaly detection (trainer.py:99) maps to optional
+jax.debug_nans via config.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable, Iterable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@dataclasses.dataclass
+class LoopConfig:
+    num_epochs: int = 80
+    ck_period_min: float = 30.0     # checkpoint/eval period in minutes
+    max_val_batches: int = 64       # trainer.py:348-350
+    out_dir: str = "experiments/default"
+    keep_checkpoints: int = 3
+    debug_nans: bool = False        # analog of set_detect_anomaly
+
+
+class MetricLogger:
+    """Append-only jsonl event log (replaces rank-0 TensorBoard scalars)."""
+
+    def __init__(self, out_dir: str):
+        os.makedirs(out_dir, exist_ok=True)
+        self.path = os.path.join(out_dir, "metrics.jsonl")
+
+    def log(self, step: int, **scalars):
+        rec = {"step": int(step), "time": time.time()}
+        rec.update({k: float(v) for k, v in scalars.items()})
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
+class CheckpointIO:
+    """Orbax-backed save/load with best-model tracking.
+
+    Layout: <out_dir>/checkpoints/<step>/ per checkpoint,
+    <out_dir>/best_model.json recording {step, val_loss}
+    (parity: trainer.py:352-382 val_min + best_model.json)."""
+
+    def __init__(self, out_dir: str, keep: int = 3):
+        import orbax.checkpoint as ocp
+        self.dir = os.path.abspath(os.path.join(out_dir, "checkpoints"))
+        os.makedirs(self.dir, exist_ok=True)
+        self.mngr = ocp.CheckpointManager(
+            self.dir, options=ocp.CheckpointManagerOptions(max_to_keep=keep))
+        self.best_file = os.path.join(out_dir, "best_model.json")
+
+    def save(self, step: int, state):
+        import orbax.checkpoint as ocp
+        self.mngr.save(step, args=ocp.args.StandardSave(state))
+        self.mngr.wait_until_finished()
+
+    def restore_latest(self, template):
+        import orbax.checkpoint as ocp
+        step = self.mngr.latest_step()
+        if step is None:
+            return None, None
+        state = self.mngr.restore(step,
+                                  args=ocp.args.StandardRestore(template))
+        return state, step
+
+    def record_best(self, step: int, val_loss: float) -> bool:
+        best = None
+        if os.path.isfile(self.best_file):
+            with open(self.best_file) as f:
+                best = json.load(f)
+        if best is None or val_loss < best["val_loss"]:
+            with open(self.best_file, "w") as f:
+                json.dump({"step": int(step), "val_loss": float(val_loss)},
+                          f)
+            return True
+        return False
+
+    def best_step(self):
+        if os.path.isfile(self.best_file):
+            with open(self.best_file) as f:
+                return json.load(f)["step"]
+        return None
+
+
+def train_loop(state, step_fn: Callable, train_loader: Iterable,
+               val_loader: Iterable | None = None,
+               val_loss_fn: Callable | None = None,
+               cfg: LoopConfig = LoopConfig(),
+               to_device: Callable | None = None):
+    """Run the epoch loop. step_fn(state, batch) -> (state, loss, terms);
+    val_loss_fn(state, batch) -> scalar. Returns the final state.
+
+    Resumes automatically from the latest checkpoint in cfg.out_dir.
+    """
+    logger = MetricLogger(cfg.out_dir)
+    ckio = CheckpointIO(cfg.out_dir, cfg.keep_checkpoints)
+    restored, at_step = ckio.restore_latest(state)
+    if restored is not None:
+        state = restored
+        print(f"[train] resumed from step {at_step}")
+
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
+    def run_val(state, step):
+        if val_loader is None or val_loss_fn is None:
+            return None
+        losses = []
+        for bi, batch in enumerate(val_loader):
+            if bi >= cfg.max_val_batches:
+                break
+            if to_device is not None:
+                batch = to_device(batch)
+            losses.append(float(val_loss_fn(state, batch)))
+        val = float(np.mean(losses)) if losses else float("nan")
+        logger.log(step, val_loss=val)
+        return val
+
+    last_ck = time.time()
+    step = int(np.asarray(getattr(state, "step", 0)))
+    for epoch in range(cfg.num_epochs):
+        for batch in train_loader:
+            if to_device is not None:
+                batch = to_device(batch)
+            state, loss, terms = step_fn(state, batch)
+            step += 1
+            if step % 10 == 0:
+                logger.log(step, loss=float(loss), epoch=epoch,
+                           **{f"loss_{k}": float(v) for k, v in terms.items()})
+            if (time.time() - last_ck) / 60.0 >= cfg.ck_period_min:
+                ckio.save(step, state)
+                val = run_val(state, step)
+                if val is not None:
+                    ckio.record_best(step, val)
+                last_ck = time.time()
+        # end of epoch: checkpoint + val (trainer.py:190-193)
+        ckio.save(step, state)
+        val = run_val(state, step)
+        if val is not None:
+            ckio.record_best(step, val)
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Infiller training (trainer_infiller.py)
+# ---------------------------------------------------------------------------
+
+def make_infiller_train_step(model, learning_rate: float = 1e-4,
+                             milestones=(30, 40), gamma: float = 0.3,
+                             steps_per_epoch: int = 1000,
+                             lw_pose: float = 1.0, lw_accel: float = 0.1):
+    """HVOP-Net training step: L1 pose + L1 acceleration over time."""
+    sched = optax.piecewise_constant_schedule(
+        learning_rate, {m * steps_per_epoch: gamma for m in milestones})
+    opt = optax.adam(sched)
+
+    def loss_fn(params, batch):
+        pred = model.apply(params, batch["data_smpl"], batch["mask_smpl"],
+                           batch["data_obj"], batch["mask_obj"],
+                           deterministic=True)
+        gt = batch["gt_obj"]
+        l_pose = jnp.abs(pred - gt).mean()
+        acc_p = pred[:, 2:] - 2 * pred[:, 1:-1] + pred[:, :-2]
+        acc_g = gt[:, 2:] - 2 * gt[:, 1:-1] + gt[:, :-2]
+        l_accel = jnp.abs(acc_p - acc_g).mean()
+        total = lw_pose * l_pose + lw_accel * l_accel
+        return total, dict(pose=l_pose, accel=l_accel)
+
+    @jax.jit
+    def step(state, batch):
+        (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"], batch)
+        updates, opt_state = opt.update(grads, state["opt_state"])
+        params = optax.apply_updates(state["params"], updates)
+        return {"params": params, "opt_state": opt_state,
+                "step": state["step"] + 1}, loss, terms
+
+    def init_state(params):
+        return {"params": params, "opt_state": opt.init(params),
+                "step": jnp.zeros((), jnp.int32)}
+
+    @jax.jit
+    def val_loss(state, batch):
+        return loss_fn(state["params"], batch)[0]
+
+    return init_state, step, val_loss

@@ -39,6 +39,13 @@ from ..ops.grid_sample import grid_sample_points
 
 @dataclasses.dataclass(frozen=True)
 class SIFNetConfig:
+    # model family variant:
+    #   "chore"              — plain CHORE (chore.py): no triplane encoders,
+    #                          6-ch center head (SMPL + object), no vis head
+    #   "chore-triplane"     — + triplane encoders (chore_triplane.py)
+    #   "chore-triplane-vis" — release SIF-Net (chore_tri_vis.py): 3-ch
+    #                          object-center head + sigmoid visibility head
+    variant: str = "chore-triplane-vis"
     # RGB encoder (tri-vis-l2.json)
     input_channels: int = 5
     num_stack: int = 3
@@ -63,8 +70,18 @@ class SIFNetConfig:
     dtype: Any = jnp.float32
 
     @property
+    def has_triplane(self) -> bool:
+        return self.variant != "chore"
+
+    @property
+    def has_visibility(self) -> bool:
+        return self.variant == "chore-triplane-vis"
+
+    @property
     def feature_size(self) -> int:
-        zfeat = 3 + (self.triplane_hg_dim + self.triplane_tmpx_dim) * 3
+        zfeat = 3
+        if self.has_triplane:
+            zfeat += (self.triplane_hg_dim + self.triplane_tmpx_dim) * 3
         return self.hourglass_dim + zfeat + self.hourglass_dim // 4
 
 
@@ -96,23 +113,28 @@ class SIFNet(nn.Module):
             input_channels=c.input_channels, num_stack=c.num_stack,
             num_hourglass=c.num_hourglass, hourglass_dim=c.hourglass_dim,
             tmpx_dim=c.tmpx_dim, dtype=c.dtype), name="image_filter")
-        tp_cfg = HGConfig(
-            input_channels=1, num_stack=c.triplane_stack,
-            num_hourglass=c.num_hourglass, hourglass_dim=c.triplane_hg_dim,
-            tmpx_dim=c.triplane_tmpx_dim, dtype=c.dtype)
-        if c.triplane_shared:
-            self.triplane_encoder = HGFilter(tp_cfg, name="triplane_encoder")
-        else:
-            self.triplane_encoders = [HGFilter(tp_cfg, name=f"triplane_encoder_{i}")
-                                      for i in range(3)]
+        if c.has_triplane:
+            tp_cfg = HGConfig(
+                input_channels=1, num_stack=c.triplane_stack,
+                num_hourglass=c.num_hourglass, hourglass_dim=c.triplane_hg_dim,
+                tmpx_dim=c.triplane_tmpx_dim, dtype=c.dtype)
+            if c.triplane_shared:
+                self.triplane_encoder = HGFilter(tp_cfg, name="triplane_encoder")
+            else:
+                self.triplane_encoders = [HGFilter(tp_cfg, name=f"triplane_encoder_{i}")
+                                          for i in range(3)]
         self.df = DecoderHead(2, c.hidden_dim, name="df")
         self.part_predictor = DecoderHead(c.num_parts, c.hidden_dim,
                                           name="part_predictor")
         self.pca_predictor = DecoderHead(9, c.hidden_dim, name="pca_predictor")
-        self.center_predictor = DecoderHead(3, c.hidden_dim,
+        # chore: 6-ch centers (SMPL + object, chore.py:79);
+        # vis variant: 3-ch object center + visibility (chore_tri_vis.py)
+        center_dim = 3 if c.has_visibility else 6
+        self.center_predictor = DecoderHead(center_dim, c.hidden_dim,
                                             name="center_predictor")
-        self.visib_predictor = DecoderHead(1, c.hidden_dim, sigmoid=True,
-                                           name="visib_predictor")
+        if c.has_visibility:
+            self.visib_predictor = DecoderHead(1, c.hidden_dim, sigmoid=True,
+                                               name="visib_predictor")
 
     # ---------------- encoding ----------------
 
@@ -128,6 +150,9 @@ class SIFNet(nn.Module):
         tmpx = jax.lax.stop_gradient(tmpx)
         if not train:
             rgb_feats = rgb_feats[-1:]
+        if not self.cfg.has_triplane:
+            return dict(rgb_feats=rgb_feats, tmpx=tmpx,
+                        tp_feats=[], tp_tmpx=[])
         tp_feats, tp_tmpx = [], []
         for i in range(3):
             enc = (self.triplane_encoder if self.cfg.triplane_shared
@@ -154,12 +179,14 @@ class SIFNet(nn.Module):
 
         feats = [grid_sample_points(cache["rgb_feats"][stack_idx], xy), z_feat,
                  grid_sample_points(cache["tmpx"], xy)]
-        tp_uv = triplane_project(points, body_center)  # (B, 3, N, 2)
-        for p in range(3):
-            feats.append(grid_sample_points(cache["tp_tmpx"][p], tp_uv[:, p]))
-        for p in range(3):
-            feats.append(grid_sample_points(cache["tp_feats"][p][stack_idx],
-                                            tp_uv[:, p]))
+        if self.cfg.has_triplane:
+            tp_uv = triplane_project(points, body_center)  # (B, 3, N, 2)
+            for p in range(3):
+                feats.append(grid_sample_points(cache["tp_tmpx"][p],
+                                                tp_uv[:, p]))
+            for p in range(3):
+                feats.append(grid_sample_points(
+                    cache["tp_feats"][p][stack_idx], tp_uv[:, p]))
         # reorder to reference layout: tmpx triplanes concatenated before
         # per-plane hourglass feats (chore_triplane.py:135,144-149)
         out = jnp.concatenate(feats, axis=-1)
@@ -168,13 +195,15 @@ class SIFNet(nn.Module):
     def decode(self, features):
         """(B, N, F) -> dict of heads, channels-last (B, N, D)."""
         pca = self.pca_predictor(features)
-        return dict(
+        out = dict(
             df=self.df(features),                       # (B, N, 2)
             pca=pca.reshape(pca.shape[:-1] + (3, 3)),   # (B, N, 3, 3)
             parts=self.part_predictor(features),        # (B, N, 14)
-            centers=self.center_predictor(features),    # (B, N, 3)
-            vis=self.visib_predictor(features),         # (B, N, 1)
+            centers=self.center_predictor(features),    # (B, N, 3 or 6)
         )
+        if self.cfg.has_visibility:
+            out["vis"] = self.visib_predictor(features)  # (B, N, 1)
+        return out
 
     def query(self, cache, points, crop_center, body_center):
         """Query all cached stacks at 3D points.
@@ -204,7 +233,9 @@ def sifnet_losses(preds_list, gt, loss_weights=(1.0, 1.0, 0.006, 500.0,
     """Training loss, parity with chore_tri_vis.py:get_errors.
 
     gt: dict with df_h (B,N), df_o (B,N), parts (B,N) int, pca (B,N,3,3),
-    obj_center (B,3), visibility (B,N).
+    obj_center (B,3), and visibility (B,N) for the vis variant or
+    body_center (B,3) for chore/chore-triplane (whose 6-ch center head
+    carries the SMPL center in channels 0:3, chore.py:get_errors).
 
     Returns (total_error, dict of per-term scalars), both averaged over
     stacks. Note the reference reduction quirks: df losses are sum over
@@ -229,14 +260,25 @@ def sifnet_losses(preds_list, gt, loss_weights=(1.0, 1.0, 0.006, 500.0,
         mask_o = (gt["df_o"] < 0.05).astype(jnp.float32)  # (B, N)
         l_pca = ((preds["pca"] - gt["pca"]) ** 2
                  * mask_o[..., None, None]).mean() * w[3]
-        # obj_center GT is (B, 3) broadcast over points (relative to body)
-        l_ocent = ((preds["centers"] - gt["obj_center"][:, None, :]) ** 2
-                   * mask_o[..., None]).mean() * w[4]
-        l_vis = ((preds["vis"][..., 0] - gt["visibility"]) ** 2
-                 * mask_o).mean() * w[5]
+        if "vis" in preds:
+            # vis variant: 3-ch object center + visibility loss
+            l_ocent = ((preds["centers"] - gt["obj_center"][:, None, :]) ** 2
+                       * mask_o[..., None]).mean() * w[4]
+            l_last = ((preds["vis"][..., 0] - gt["visibility"]) ** 2
+                      * mask_o).mean() * w[5]
+        else:
+            # chore(-triplane): 6-ch centers; SMPL-center loss on ch 0:3
+            # masked by df_h < 0.05 (chore.py:273-277)
+            l_ocent = ((preds["centers"][..., 3:]
+                        - gt["obj_center"][:, None, :]) ** 2
+                       * mask_o[..., None]).mean() * w[4]
+            mask_h = (gt["df_h"] < 0.05).astype(jnp.float32)
+            l_last = ((preds["centers"][..., :3]
+                       - gt["body_center"][:, None, :]) ** 2
+                      * mask_h[..., None]).mean() * w[5]
 
-        total = total + l_h + l_o + l_parts + l_pca + l_ocent + l_vis
+        total = total + l_h + l_o + l_parts + l_pca + l_ocent + l_last
         for k, v in zip(("df_h", "df_o", "parts", "pca", "ocenter", "vis"),
-                        (l_h, l_o, l_parts, l_pca, l_ocent, l_vis)):
+                        (l_h, l_o, l_parts, l_pca, l_ocent, l_last)):
             terms[k] = terms[k] + v / n_stacks
     return total / n_stacks, terms
