@@ -1,0 +1,55 @@
+"""Z-buffered viz renderer tests."""
+import os
+import numpy as np
+import jax.numpy as jnp
+
+from vistracker_tpu.render.viz import (render_shaded, side_by_side,
+                                       save_video, render_meshes_perspective)
+from vistracker_tpu.core.camera import PerspectiveCamera
+
+
+def test_zbuffer_occlusion():
+    # two overlapping squares; the nearer one must win in the overlap
+    def square(cx, z, half=0.4):
+        v = jnp.asarray([[cx - half, -half], [cx + half, -half],
+                         [cx + half, half], [cx - half, half]], jnp.float32)
+        f = jnp.asarray([[0, 1, 2], [0, 2, 3]], jnp.int32)
+        v3 = jnp.concatenate([v, jnp.full((4, 1), z)], -1)
+        return v, jnp.full((4,), z), v3, f
+
+    size = 64
+    v_a, z_a, v3_a, f = square(-0.2, 1.0)   # near
+    v_b, z_b, v3_b, _ = square(0.2, 2.0)    # far
+    verts2 = jnp.concatenate([v_a, v_b])
+    depth = jnp.concatenate([z_a, z_b])
+    verts3 = jnp.concatenate([v3_a, v3_b])
+    faces = jnp.concatenate([f, f + 4])
+    shade, zbuf = render_shaded(verts2, depth, verts3, faces, size)
+    zbuf = np.asarray(zbuf)
+    # overlap region around x=0: depth must be the NEAR square's (1.0)
+    mid = size // 2
+    assert abs(zbuf[mid, mid] - 1.0) < 1e-3, zbuf[mid, mid]
+    # right-only region: far square
+    right = int((0.5 + 1) / 2 * (size - 1))
+    assert abs(zbuf[mid, right] - 2.0) < 1e-3, zbuf[mid, right]
+    # background
+    assert zbuf[0, 0] > 1e8
+    s = np.asarray(shade)
+    assert s[mid, mid] > 0.9  # face normal along +z -> full headlight
+    assert s[0, 0] == 0.0
+
+
+def test_perspective_render_and_video(tmp_path, rng):
+    cam = PerspectiveCamera(crop_size=1200)
+    tri_v = np.array([[0, 0, 2.2], [0.3, 0, 2.2], [0, 0.3, 2.2]], np.float32)
+    tri_f = np.array([[0, 1, 2]], np.int32)
+    cc = np.asarray(cam.project_screen(jnp.asarray(tri_v[:1][None])))[0, 0]
+    img = render_meshes_perspective(
+        [(tri_v, tri_f, (1.0, 0.2, 0.2))], cam, cc, size=64)
+    assert img.shape == (64, 64, 3)
+    assert img.max() > 0.2  # triangle visible
+    frames = np.stack([img, img * 0.5])
+    sbs = side_by_side(frames, frames)
+    assert sbs.shape == (2, 64, 128, 3)
+    out = save_video(sbs, str(tmp_path / "vid.gif"), fps=5)
+    assert os.path.getsize(out) > 0

@@ -273,6 +273,26 @@ def run_synthetic_track(args) -> dict:
     errs = eval_sequence(np.asarray(sverts_gt), overts_gt, sverts_rc,
                          overts_rc, scene.smpl_faces, scene.temp_faces,
                          window=args.eval_window, chamfer_samples=1000)
+
+    if args.render:
+        # stage-7 visualization: GT | recon side-by-side GIF
+        from ..render.viz import (render_meshes_perspective, side_by_side,
+                                  save_video)
+        sf = scene.smpl_faces[:256]
+        left, right = [], []
+        for i in range(T):
+            ccf = crop_centers[i]
+            left.append(render_meshes_perspective(
+                [(np.asarray(sverts_gt)[i], sf, (0.4, 0.8, 0.4)),
+                 (overts_gt[i], scene.temp_faces, (0.9, 0.6, 0.2))],
+                cam, ccf, size=128))
+            right.append(render_meshes_perspective(
+                [(sverts_rc[i], sf, (0.4, 0.6, 0.9)),
+                 (overts_rc[i], scene.temp_faces, (0.9, 0.4, 0.4))],
+                cam, ccf, size=128))
+        vid = save_video(side_by_side(np.stack(left), np.stack(right)),
+                         os.path.join(args.out, "side_by_side.gif"))
+        _stage(f"wrote visualization {vid}")
     outfile = collect_results({"Date00_Sub00_synthetic": errs}, args.out,
                               "synthetic-track")
     timings["pack_eval"] = time.time() - t0
@@ -316,6 +336,8 @@ def build_parser():
     tr.add_argument("--joint-sil-iters", type=int, default=2)
     tr.add_argument("--joint-iters", type=int, default=3)
     tr.add_argument("--eval-window", type=int, default=300)
+    tr.add_argument("--render", action="store_true",
+                    help="write a GT|recon side-by-side GIF (stage 7 viz)")
 
     ts = sub.add_parser("train-sifnet",
                         help="train SIF-Net (DP over the device mesh)")
