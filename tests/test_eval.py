@@ -144,3 +144,29 @@ def test_sdf_grid_sphere_sign():
     assert vals[16, 16, 16] < 0
     # corner -> outside (positive)
     assert vals[0, 0, 0] > 0
+
+
+def test_pack_unpack_roundtrip(tmp_path, rng):
+    from vistracker_tpu.data.packed import unpack_to_frames, pack_from_frames
+    T = 3
+    frames = [f"t{i:04d}.000" for i in range(T)]
+    packed = dict(poses=rng.randn(T, 156).astype(np.float32),
+                  betas=rng.randn(T, 10).astype(np.float32),
+                  trans=rng.randn(T, 3).astype(np.float32),
+                  obj_angles=np.broadcast_to(np.eye(3), (T, 3, 3)).copy(),
+                  obj_trans=rng.randn(T, 3).astype(np.float32),
+                  obj_scales=np.ones(T), frames=frames)
+    seq = str(tmp_path / "seq")
+    written = unpack_to_frames(packed, seq, "fit01")
+    assert written == frames
+    # idempotent: second call writes nothing
+    assert unpack_to_frames(packed, seq, "fit01") == []
+    back = pack_from_frames(seq, frames, "fit01")
+    np.testing.assert_allclose(back["poses"], packed["poses"], atol=1e-6)
+    np.testing.assert_allclose(back["obj_trans"], packed["obj_trans"],
+                               atol=1e-6)
+    assert back["recon_exist"].all()
+    # missing frame -> dummy fill + recon_exist False
+    back2 = pack_from_frames(seq, frames + ["t9999.000"], "fit01")
+    assert not back2["recon_exist"][-1]
+    np.testing.assert_allclose(back2["obj_angles"][-1], np.eye(3))

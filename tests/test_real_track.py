@@ -1,0 +1,151 @@
+"""End-to-end real-data pipeline test on a fabricated BEHAVE-layout
+sequence: exercises the frame readers, image preprocessing, every stage of
+cli/real_track.py, and the packed output contract."""
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from vistracker_tpu.utils.mesh import save_ply
+
+
+def _make_fake_smplh_pkl(path, rng, V=128, J=52):
+    from vistracker_tpu.core.smpl import SMPLH_PARENTS
+    kintree = np.zeros((2, J), np.int64)
+    kintree[0] = np.asarray(SMPLH_PARENTS)
+    kintree[0, 0] = 2 ** 32 - 1  # root marker like released models
+    kintree[1] = np.arange(J)
+    w = rng.rand(V, J) ** 4
+    w /= w.sum(1, keepdims=True)
+    jr = rng.rand(J, V)
+    jr /= jr.sum(1, keepdims=True)
+    data = dict(
+        v_template=rng.randn(V, 3) * 0.3,
+        shapedirs=rng.randn(V, 3, 16) * 0.01,
+        posedirs=rng.randn(V, 3, 9 * (J - 1)) * 0.001,
+        J_regressor=jr,
+        weights=w,
+        f=rng.randint(0, V, (2 * V, 3)),
+        kintree_table=kintree,
+        betas=np.zeros(16),
+        gender="male",
+    )
+    with open(path, "wb") as f:
+        pickle.dump(data, f)
+
+
+def _make_fake_assets(root, rng, V=128):
+    os.makedirs(os.path.join(root, "priors"), exist_ok=True)
+    import scipy.sparse as sp
+    for name, k in (("body25_regressor", 25), ("face_regressor", 70),
+                    ("hand_regressor", 42)):
+        reg = rng.rand(V, k)
+        reg /= reg.sum(0, keepdims=True)
+        with open(os.path.join(root, f"{name}.pkl"), "wb") as f:
+            pickle.dump(sp.coo_matrix(reg), f)
+    parts = {}
+    ids = np.arange(V)
+    for i, nm in enumerate(["head", "left_foot", "left_forearm", "left_leg",
+                            "left_midarm", "left_upperarm", "right_foot",
+                            "right_forearm", "right_leg", "right_midarm",
+                            "right_upperarm", "torso", "upper_left_leg",
+                            "upper_right_leg"]):
+        parts[nm] = ids[ids % 14 == i]
+    with open(os.path.join(root, "smpl_parts_dense.pkl"), "wb") as f:
+        pickle.dump(parts, f)
+    with open(os.path.join(root, "priors", "body_prior.pkl"), "wb") as f:
+        pickle.dump(dict(mean=np.zeros(63), precision=np.eye(63) * 0.1), f)
+    for nm in ("lh_prior.pkl", "rh_prior.pkl"):
+        with open(os.path.join(root, "priors", nm), "wb") as f:
+            pickle.dump(dict(mean=np.zeros(45), precision=np.eye(45) * 0.1), f)
+
+
+def _make_fake_sequence(seq_dir, rng, T=4, img_hw=(96, 128)):
+    from PIL import Image
+    os.makedirs(seq_dir, exist_ok=True)
+    with open(os.path.join(seq_dir, "info.json"), "w") as f:
+        json.dump(dict(cat="boxsmall", gender="male", kinects=[0, 1, 2, 3],
+                       config=None, empty=None, intrinsic=None,
+                       beta=[0.0] * 10), f)
+    H, W = img_hw
+    for i in range(T):
+        fd = os.path.join(seq_dir, f"t{i:04d}.000")
+        os.makedirs(fd, exist_ok=True)
+        rgb = (rng.rand(H, W, 3) * 255).astype(np.uint8)
+        Image.fromarray(rgb).save(os.path.join(fd, "k1.color.jpg"))
+        pm = np.zeros((H, W), np.uint8)
+        pm[H // 4:3 * H // 4, W // 4:W // 2] = 255
+        Image.fromarray(pm).save(os.path.join(fd, "k1.person_mask.png"))
+        om = np.zeros((H, W), np.uint8)
+        om[H // 3:2 * H // 3, W // 2:3 * W // 4] = 255
+        Image.fromarray(om).save(os.path.join(fd, "k1.obj_rend_mask.png"))
+        kpts = np.concatenate(
+            [rng.rand(25, 1) * W, rng.rand(25, 1) * H,
+             np.ones((25, 1))], -1)
+        with open(os.path.join(fd, "k1.color.json"), "w") as f:
+            json.dump(dict(body_joints=kpts.reshape(-1).tolist()), f)
+        with open(os.path.join(fd, "k1.mocap.json"), "w") as f:
+            json.dump(dict(pose=(rng.randn(72) * 0.1).tolist(),
+                           betas=np.zeros(10).tolist()), f)
+
+
+def test_real_track_pipeline(tmp_path, rng):
+    from vistracker_tpu.cli.main import build_parser
+    from vistracker_tpu.cli.real_track import run_real_track
+    from vistracker_tpu.data.packed import load_packed_recon
+    from vistracker_tpu.cli.synthetic import box_mesh
+
+    seq = str(tmp_path / "Date09_Sub99_boxsmall")
+    _make_fake_sequence(seq, rng, T=4)
+    assets = str(tmp_path / "assets")
+    _make_fake_assets(assets, rng)
+    smpl_pkl = str(tmp_path / "SMPLH_male.pkl")
+    _make_fake_smplh_pkl(smpl_pkl, rng)
+    obj_root = str(tmp_path / "objects")
+    os.makedirs(os.path.join(obj_root, "boxsmall"), exist_ok=True)
+    bv, bf = box_mesh()
+    save_ply(os.path.join(obj_root, "boxsmall", "boxsmall.ply"),
+             bv + np.array([0.1, 0.0, 2.3], np.float32), bf)
+
+    args = build_parser().parse_args([
+        "track", "--seq", seq, "--out", str(tmp_path / "out"),
+        "--smpl-model", smpl_pkl, "--assets", assets,
+        "--objects-root", obj_root, "--sifnet-ckpt", "random",
+        "--infiller-ckpt", "random", "--tiny-nets",
+        "--chunk-size", "4", "--net-size", "32", "--crop-size", "96",
+        "--save-name", "smoke"])
+    # shrink the optimization budgets: run_real_track resolves the config
+    # classes at call time from their modules, so patching there works
+    import functools
+    import vistracker_tpu.fit.smplt as smplt_mod
+    import vistracker_tpu.fit.joint as joint_mod
+    import vistracker_tpu.fit.generator as gen_mod
+    orig = (smplt_mod.SMPLTFitConfig, joint_mod.JointFitConfig,
+            gen_mod.GeneratorConfig)
+    try:
+        smplt_mod.SMPLTFitConfig = lambda *a, **k: orig[0](
+            global_iters=1, max_iters=2)
+        joint_mod.JointFitConfig = functools.partial(
+            orig[1], iter_betas=1, iter_pose=1, iter_kpts=1, smpl_max_iter=1,
+            iter_obj=1, iter_sil=1, joint_max_iter=1, sil_size=32,
+            sil_sigma=1 / 16.0)
+        gen_mod.GeneratorConfig = functools.partial(
+            orig[2], num_steps=2, num_rounds=1, samples_per_round=256,
+            num_points=64)
+        outfile = run_real_track(args)
+    finally:
+        smplt_mod.SMPLTFitConfig, joint_mod.JointFitConfig, \
+            gen_mod.GeneratorConfig = orig
+
+    rec = load_packed_recon(outfile)
+    assert rec.num_frames == 4
+    assert rec.poses.shape == (4, 156)
+    assert rec.obj_angles.shape == (4, 3, 3)
+    assert np.isfinite(rec.poses).all()
+    assert np.isfinite(rec.obj_trans).all()
+    det = np.linalg.det(rec.obj_angles)
+    np.testing.assert_allclose(det, 1.0, atol=1e-3)
+    assert rec.frames == [f"t{i:04d}.000" for i in range(4)]

@@ -128,3 +128,35 @@ def test_sifnet_example_from_synthetic_frame(rng):
     assert 0 <= ex["parts"].min() and ex["parts"].max() < 14
     # distances are plausible: points near surfaces have small df
     assert ex["df_h"].min() < 0.05 and ex["df_o"].min() < 0.05
+
+
+def test_reexpress_in_camera_consistency(rng):
+    """Re-expressing in a camera must map world root-joint positions through
+    the camera transform exactly."""
+    from vistracker_tpu.data.datasets import (reexpress_smpl_in_camera,
+                                              reexpress_obj_in_camera)
+    from scipy.spatial.transform import Rotation
+    T = 5
+    poses = (rng.randn(T, 156) * 0.3).astype(np.float32)
+    trans = rng.randn(T, 3).astype(np.float32)
+    roots0 = rng.randn(T, 3).astype(np.float32) * 0.1  # zero-pose roots
+    roots = roots0 + trans
+    R = Rotation.from_rotvec([0.3, -0.5, 0.2]).as_matrix()
+    t = np.array([0.1, 0.2, -0.3])
+    new_poses, new_trans = reexpress_smpl_in_camera(poses, trans, roots, R, t)
+    # the root joint in the new frame = R @ root_world + t
+    new_roots = roots0 + new_trans
+    expected = roots @ R.T + t
+    np.testing.assert_allclose(new_roots, expected, atol=1e-5)
+    # global orientation left-multiplied
+    g_old = Rotation.from_rotvec(poses[:, :3]).as_matrix()
+    g_new = Rotation.from_rotvec(new_poses[:, :3]).as_matrix()
+    np.testing.assert_allclose(g_new, R[None] @ g_old, atol=1e-5)
+    # body pose unchanged
+    np.testing.assert_array_equal(new_poses[:, 3:], poses[:, 3:])
+
+    rots = Rotation.from_rotvec(rng.randn(T, 3) * 0.4).as_matrix()
+    otr = rng.randn(T, 3).astype(np.float32)
+    nr, nt = reexpress_obj_in_camera(rots, otr, R, t)
+    np.testing.assert_allclose(nr, R[None] @ rots, atol=1e-6)
+    np.testing.assert_allclose(nt, otr @ R.T + t, atol=1e-5)

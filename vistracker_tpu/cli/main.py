@@ -338,6 +338,26 @@ def build_parser():
     tr.add_argument("--eval-window", type=int, default=300)
     tr.add_argument("--render", action="store_true",
                     help="write a GT|recon side-by-side GIF (stage 7 viz)")
+    # real-data (BEHAVE layout) arguments
+    tr.add_argument("--kid", type=int, default=1)
+    tr.add_argument("--start", type=int, default=0)
+    tr.add_argument("--end", type=int, default=None)
+    tr.add_argument("--chunk-size", type=int, default=96)
+    tr.add_argument("--crop-size", type=int, default=1200)
+    tr.add_argument("--net-size", type=int, default=512)
+    tr.add_argument("--save-name", default="track")
+    tr.add_argument("--smpl-model", help="SMPL-H model pkl")
+    tr.add_argument("--assets", default=os.environ.get(
+        "VISTRACKER_ASSETS", "assets"))
+    tr.add_argument("--objects-root", help="object template folder")
+    tr.add_argument("--sifnet-ckpt", help="tri-vis-l2 checkpoint (torch tar)")
+    tr.add_argument("--infiller-ckpt", help="cmf-k4-lrot checkpoint")
+    tr.add_argument("--smoothnet-smpl-ckpt")
+    tr.add_argument("--smoothnet-objrot-ckpt")
+    tr.add_argument("--tiny-nets", action="store_true",
+                    help="tiny network configs (pipeline smoke tests)")
+    tr.add_argument("--redo", action="store_true",
+                    help="re-run even if the packed output exists")
 
     ts = sub.add_parser("train-sifnet",
                         help="train SIF-Net (DP over the device mesh)")
@@ -539,8 +559,14 @@ def main(argv=None):
         if args.synthetic:
             run_synthetic_track(args)
         else:
-            raise SystemExit("real-data tracking requires a BEHAVE sequence "
-                             "folder with masks/keypoints; see README")
+            for need, name in ((args.smpl_model, "--smpl-model"),
+                               (args.objects_root, "--objects-root"),
+                               (args.sifnet_ckpt, "--sifnet-ckpt"),
+                               (args.infiller_ckpt, "--infiller-ckpt")):
+                if not need:
+                    raise SystemExit(f"track --seq requires {name}")
+            from .real_track import run_real_track
+            run_real_track(args)
     elif args.cmd == "train-sifnet":
         run_train_sifnet(args)
     elif args.cmd == "train-infiller":

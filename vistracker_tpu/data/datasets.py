@@ -135,6 +135,42 @@ def sifnet_example(frame: dict, part_labels: np.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Multi-kinect view augmentation (traindata_mfiller.py:231-296)
+# ---------------------------------------------------------------------------
+
+def reexpress_smpl_in_camera(poses: np.ndarray, trans: np.ndarray,
+                             roots: np.ndarray, w2c_R: np.ndarray,
+                             w2c_t: np.ndarray):
+    """Re-express SMPL poses/translations in another camera.
+
+    poses (T, >=3) axis-angle (global orientation first), trans (T, 3),
+    roots (T, 3) root-joint positions (pose-independent), w2c_R (3, 3),
+    w2c_t (3,). Returns (new_poses, new_trans). Exact math of
+    traindata_mfiller.py:get_smpl_input: the root orientation is
+    left-multiplied by R; the translation is corrected for the root
+    offset (roots - trans is the beta-dependent zero-pose root)."""
+    from scipy.spatial.transform import Rotation
+    g = Rotation.from_rotvec(poses[:, :3]).as_matrix()
+    new_g = np.matmul(w2c_R[None], g)
+    roots_cent = roots - trans
+    new_trans = (trans @ w2c_R.T + w2c_t
+                 + roots_cent @ w2c_R.T - roots_cent)
+    out = poses.copy()
+    out[:, :3] = Rotation.from_matrix(new_g).as_rotvec()
+    return out, new_trans.astype(np.float32)
+
+
+def reexpress_obj_in_camera(rots: np.ndarray, trans: np.ndarray,
+                            w2c_R: np.ndarray, w2c_t: np.ndarray):
+    """Re-express object rotations/translations in another camera
+    (traindata_mfiller.py:get_obj_input): R_new = w2c_R @ R,
+    t_new = t @ w2c_R.T + w2c_t. rots (T, 3, 3) REAL rotations."""
+    new_rot = np.matmul(w2c_R[None], rots)
+    new_trans = trans @ w2c_R.T + w2c_t
+    return new_rot, new_trans.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
 # Motion-infiller dataset
 # ---------------------------------------------------------------------------
 

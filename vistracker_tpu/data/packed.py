@@ -88,6 +88,74 @@ def load_packed_recon(path: str) -> PackedRecon:
     )
 
 
+def unpack_to_frames(packed: dict, seq_dir: str, save_name: str,
+                     kid: int = 1):
+    """Write per-frame smplfit/objfit pkl files from a packed dict — the
+    pack2separate tools (tools/pack2separate.py, pack2separate_params.py):
+    <seq>/<frame>/k{kid}.smplfit_{save_name}.pkl {pose, betas, trans} and
+    k{kid}.objfit_{save_name}.pkl {rot, trans, scale}. Skips frames whose
+    outputs already exist (idempotent resume, recon_fit_base.py:260-276).
+    """
+    import pickle
+    written = []
+    for i, frame in enumerate(packed["frames"]):
+        fd = os.path.join(seq_dir, frame)
+        os.makedirs(fd, exist_ok=True)
+        sf = os.path.join(fd, f"k{kid}.smplfit_{save_name}.pkl")
+        of = os.path.join(fd, f"k{kid}.objfit_{save_name}.pkl")
+        if os.path.isfile(sf) and os.path.isfile(of):
+            continue
+        with open(sf, "wb") as f:
+            pickle.dump(dict(pose=np.asarray(packed["poses"][i]),
+                             betas=np.asarray(packed["betas"][i]),
+                             trans=np.asarray(packed["trans"][i])), f)
+        with open(of, "wb") as f:
+            pickle.dump(dict(rot=np.asarray(packed["obj_angles"][i]),
+                             trans=np.asarray(packed["obj_trans"][i]),
+                             scale=float(np.asarray(
+                                 packed["obj_scales"][i]))), f)
+        written.append(frame)
+    return written
+
+
+def pack_from_frames(seq_dir: str, frames: list, save_name: str,
+                     kid: int = 1) -> dict:
+    """Inverse of unpack_to_frames: gather per-frame fit pkls into the
+    packed layout (preprocess/pack_recon.py role for param files)."""
+    import pickle
+    poses, betas, trans = [], [], []
+    rots, otrans, oscales, exist = [], [], [], []
+    for frame in frames:
+        fd = os.path.join(seq_dir, frame)
+        sf = os.path.join(fd, f"k{kid}.smplfit_{save_name}.pkl")
+        of = os.path.join(fd, f"k{kid}.objfit_{save_name}.pkl")
+        ok = os.path.isfile(sf) and os.path.isfile(of)
+        exist.append(ok)
+        if ok:
+            with open(sf, "rb") as f:
+                s = pickle.load(f)
+            with open(of, "rb") as f:
+                o = pickle.load(f)
+            poses.append(np.asarray(s["pose"]).reshape(-1))
+            betas.append(np.asarray(s["betas"]).reshape(-1))
+            trans.append(np.asarray(s["trans"]).reshape(-1))
+            rots.append(np.asarray(o["rot"]))
+            otrans.append(np.asarray(o["trans"]).reshape(-1))
+            oscales.append(float(o["scale"]))
+        else:  # dummy-fill missing frames (pack_recon.py:62-76)
+            poses.append(np.zeros(156, np.float32))
+            betas.append(np.zeros(10, np.float32))
+            trans.append(np.zeros(3, np.float32))
+            rots.append(np.eye(3, dtype=np.float32))
+            otrans.append(np.zeros(3, np.float32))
+            oscales.append(1.0)
+    return dict(poses=np.stack(poses), betas=np.stack(betas),
+                trans=np.stack(trans), obj_angles=np.stack(rots),
+                obj_trans=np.stack(otrans), obj_scales=np.asarray(oscales),
+                recon_exist=np.asarray(exist), recon_name=save_name,
+                frames=list(frames))
+
+
 def recon_obj_verts(temp_verts: np.ndarray, obj_angles: np.ndarray,
                     obj_trans: np.ndarray, obj_scales: np.ndarray) -> np.ndarray:
     """Recon packs: verts = (temp @ obj_angles + trans) * scale
