@@ -61,3 +61,41 @@ def test_init_box_bounds():
     assert s[..., 0].min() >= -1.0 and s[..., 0].max() <= 1.0
     assert s[..., 1].min() >= -1.5 and s[..., 1].max() <= 1.5
     assert s[..., 2].min() >= 1.6 and s[..., 2].max() <= 2.8
+
+
+def test_df_only_fast_path_matches_full():
+    """The df-only projection path must produce identical results to
+    projecting through the full query."""
+    import jax
+    import numpy as np
+    from vistracker_tpu.models.sifnet import SIFNet, SIFNetConfig
+    from vistracker_tpu.fit.generator import (GeneratorConfig, make_generator,
+                                              sifnet_query_fn)
+    rng = np.random.RandomState(0)
+    cfg = SIFNetConfig(num_stack=1, num_hourglass=1, hourglass_dim=32,
+                       tmpx_dim=32, triplane_stack=1, triplane_hg_dim=32,
+                       triplane_tmpx_dim=32, hidden_dim=16)
+    model = SIFNet(cfg)
+    B = 1
+    imgs = jnp.asarray(rng.rand(B, 32, 32, 8).astype(np.float32))
+    cc = jnp.asarray(np.array([[1018.0, 779.0]], np.float32))
+    bc = jnp.asarray(np.array([[0, 0, 2.2]], np.float32))
+    pts0 = jnp.asarray((rng.randn(B, 8, 3) * 0.3
+                        + np.array([0, 0, 2.2])).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), imgs, pts0, cc, bc)
+    cache = model.apply(params, imgs, method=SIFNet.encode)
+
+    gcfg = GeneratorConfig(num_steps=3, num_rounds=1, samples_per_round=64,
+                           num_points=32)
+    qf = sifnet_query_fn(model)
+    gen_fast = make_generator(qf, gcfg)
+    out_fast = gen_fast(params, cache, cc, bc, jax.random.PRNGKey(1))
+
+    def qf_slow(params, cache, points, cc_, bc_):
+        return model.apply(params, cache, points, cc_, bc_,
+                           method=SIFNet.query)[-1]
+    gen_slow = make_generator(qf_slow, gcfg)
+    out_slow = gen_slow(params, cache, cc, bc, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(out_fast["human"]["points"]),
+                               np.asarray(out_slow["human"]["points"]),
+                               atol=1e-6)

@@ -67,3 +67,28 @@ def test_vis_variant_heads(rng):
     assert preds["vis"].shape[-1] == 1
     v = np.asarray(preds["vis"])
     assert (v >= 0).all() and (v <= 1).all()  # sigmoid head
+
+
+def test_remat_variant_same_outputs_and_grads(rng):
+    import dataclasses
+    cfg = _small("chore-triplane-vis")
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    model = SIFNet(cfg)
+    model_r = SIFNet(cfg_r)
+    imgs, pts, cc, bc = _inputs(rng)
+    params = model.init(jax.random.PRNGKey(0), imgs, pts, cc, bc)
+    out = model.apply(params, imgs, pts, cc, bc)[0]
+    out_r = model_r.apply(params, imgs, pts, cc, bc)[0]
+    np.testing.assert_allclose(np.asarray(out["df"]), np.asarray(out_r["df"]),
+                               atol=1e-6)
+
+    def loss(m):
+        def f(p):
+            o = m.apply(p, imgs, pts, cc, bc, train=True)[0]
+            return (o["df"] ** 2).mean()
+        return f
+    g = jax.grad(loss(model))(params)
+    g_r = jax.grad(loss(model_r))(params)
+    a = jax.tree.leaves(g)[0]
+    b = jax.tree.leaves(g_r)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

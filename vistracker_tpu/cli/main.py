@@ -382,11 +382,21 @@ def build_parser():
     ti.add_argument("--lr", type=float, default=1e-4)
 
     ev = sub.add_parser("evaluate", help="windowed eval of packed recon vs GT")
-    ev.add_argument("--recon", required=True, help="packed recon pkl")
-    ev.add_argument("--gt", required=True, help="packed GT pkl")
-    ev.add_argument("--template", required=True, help="object template ply")
+    ev.add_argument("--recon", help="packed recon pkl (single-sequence mode)")
+    ev.add_argument("--gt", help="packed GT pkl (single-sequence mode)")
+    ev.add_argument("--template", help="object template ply (single-seq)")
+    # split mode (evalvideo_packed.py -split): evaluate many sequences
+    ev.add_argument("--split", help="json with {'seqs': [...]}")
+    ev.add_argument("--save-name", default="track",
+                    help="recon name: <recon-root>/recon_<name>/<seq>_k<tid>.pkl")
+    ev.add_argument("--recon-root", default="recon_out")
+    ev.add_argument("--gt-root", help="folder with <seq>_GT-packed.pkl")
+    ev.add_argument("--objects-root", help="object template folder")
+    ev.add_argument("--tid", type=int, default=1)
     ev.add_argument("--smpl-model", help="SMPL-H model pkl")
     ev.add_argument("--window", type=int, default=300)
+    ev.add_argument("--smpl-only", action="store_true",
+                    help="align on SMPL verts only")
     ev.add_argument("--out", default="results")
     return p
 
@@ -510,24 +520,31 @@ def run_train_infiller(args):
     to_dev = lambda b: {k: jnp.asarray(v) for k, v in b.items()}
     state = train_loop(state, step_fn, loader, val_loader=loader,
                        val_loss_fn=val_fn, cfg=lcfg, to_device=to_dev)
+
+    # downstream eval: run the full autoregressive infill on a held-out
+    # clip and report geodesic rotation error — the trainer_cinfiller.py
+    # integration-eval-inside-training pattern
+    from ..fit.infill import make_infiller
+    from ..eval.evaluator import rotation_errors_deg
+    run = make_infiller(model, cfg)
+    hold = seqs[0]
+    occ = np.ones(T, np.float32)
+    occ[T // 3:T // 2] = 0.0  # occlude a stretch
+    filled = run(state["params"], hold["poses"], hold["trans"],
+                 hold["obj_rot_real"], occ)
+    rot_err = (float(np.mean(rotation_errors_deg(
+        filled, hold["obj_rot_real"]))) if filled is not None else None)
     print(json.dumps({"out": args.out,
-                      "steps": int(np.asarray(state["step"]))}))
+                      "steps": int(np.asarray(state["step"])),
+                      "downstream_rot_err_deg": rot_err}))
 
 
-def run_evaluate(args):
-    import jax.numpy as jnp
+def _eval_one(model, recon_path, gt_path, temp_v, temp_f, window, smpl_only):
     from ..data.packed import load_packed_recon, load_packed, \
         recon_obj_verts, gt_obj_verts
-    from ..utils.mesh import load_ply
-    from ..core.smpl import load_smpl_pkl
-    from ..eval.evaluator import (eval_sequence, collect_results,
-                                  smpl_verts_from_packed)
-
-    temp_v, temp_f = load_ply(args.template)
-    temp_v = temp_v - temp_v.mean(0)
-    rec = load_packed_recon(args.recon)
-    gt = load_packed(args.gt)
-    model = load_smpl_pkl(args.smpl_model)
+    from ..eval.evaluator import eval_sequence, smpl_verts_from_packed
+    rec = load_packed_recon(recon_path)
+    gt = load_packed(gt_path)
     sverts_rc = smpl_verts_from_packed(model, rec.poses, rec.betas, rec.trans)
     overts_rc = recon_obj_verts(temp_v, rec.obj_angles, rec.obj_trans,
                                 rec.obj_scales)
@@ -540,11 +557,41 @@ def run_evaluate(args):
     else:
         overts_gt = recon_obj_verts(temp_v, ga, np.asarray(gt["obj_trans"]),
                                     np.ones(len(ga)))
-    seq_name = os.path.basename(args.recon).replace(".pkl", "")
-    errs = eval_sequence(sverts_gt, overts_gt, sverts_rc, overts_rc,
-                         model.faces, temp_f, rec.recon_exist, args.window)
-    out = collect_results({seq_name: errs}, args.out,
-                          rec.recon_name or "recon")
+    return eval_sequence(sverts_gt, overts_gt, sverts_rc, overts_rc,
+                         model.faces, temp_f, rec.recon_exist, window,
+                         smpl_only=smpl_only)
+
+
+def run_evaluate(args):
+    from ..utils.mesh import load_ply
+    from ..core.smpl import load_smpl_pkl
+    from ..data.behave import load_template
+    from ..eval.evaluator import collect_results, object_name_of
+
+    model = load_smpl_pkl(args.smpl_model)
+    errors = {}
+    if args.split:
+        with open(args.split) as f:
+            seqs = json.load(f)["seqs"]
+        for seq in seqs:
+            recon = os.path.join(args.recon_root, f"recon_{args.save_name}",
+                                 f"{seq}_k{args.tid}.pkl")
+            gt = os.path.join(args.gt_root, f"{seq}_GT-packed.pkl")
+            temp_v, temp_f = load_template(args.objects_root,
+                                           object_name_of(seq))
+            print(f"[evaluate] {seq}")
+            errors[seq] = _eval_one(model, recon, gt, temp_v, temp_f,
+                                    args.window, args.smpl_only)
+        out = collect_results(errors, args.out, args.save_name)
+    else:
+        if not (args.recon and args.gt and args.template):
+            raise SystemExit("evaluate needs --split or --recon/--gt/--template")
+        temp_v, temp_f = load_ply(args.template)
+        temp_v = temp_v - temp_v.mean(0)
+        seq_name = os.path.basename(args.recon).replace(".pkl", "")
+        errors[seq_name] = _eval_one(model, args.recon, args.gt, temp_v,
+                                     temp_f, args.window, args.smpl_only)
+        out = collect_results(errors, args.out, args.save_name)
     print(out)
 
 

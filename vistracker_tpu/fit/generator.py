@@ -50,10 +50,17 @@ def init_box_samples(key, batch_size: int, n: int, body_center: jax.Array,
 
 def sifnet_query_fn(model: SIFNet):
     """Adapter: SIFNet -> query_fn(params, cache, points, crop_center,
-    body_center) returning the last stack's head dict."""
+    body_center) returning the last stack's head dict. The df-only fast
+    path is attached as query_fn.df_only (used by the projection loop)."""
     def query_fn(params, cache, points, crop_center, body_center):
         return model.apply(params, cache, points, crop_center, body_center,
                            method=SIFNet.query)[-1]
+
+    def df_only(params, cache, points, crop_center, body_center):
+        return model.apply(params, cache, points, crop_center, body_center,
+                           method=SIFNet.query_df)
+
+    query_fn.df_only = df_only
     return query_fn
 
 
@@ -73,12 +80,21 @@ def make_generator(query_fn, cfg: GeneratorConfig = GeneratorConfig()):
         preds = query_fn(params, cache, points, crop_center, body_center)
         return jnp.minimum(preds["df"][..., df_idx], cfg.df_clamp), preds
 
+    # the projection inner loop only differentiates df — use the cheap
+    # df-only head if the query_fn provides one (sifnet_query_fn.df_only)
+    df_fast = getattr(query_fn, "df_only", None)
+
     def project(params, cache, samples, crop_center, body_center, df_idx):
         """num_steps iterations of surface projection as a lax.scan."""
 
         def df_sum(pts):
-            df, _ = query_df(params, cache, pts, crop_center, body_center,
-                             df_idx)
+            if df_fast is not None:
+                df = jnp.minimum(
+                    df_fast(params, cache, pts, crop_center,
+                            body_center)[..., df_idx], cfg.df_clamp)
+            else:
+                df, _ = query_df(params, cache, pts, crop_center,
+                                 body_center, df_idx)
             return df.sum(), df
 
         def step(pts, _):

@@ -67,6 +67,7 @@ class SIFNetConfig:
     # training
     max_dist: float = 0.1  # df clamp (config clamp_thres)
     loss_weights: tuple = (1.0, 1.0, 0.006, 500.0, 1000.0, 1000.0)
+    remat: bool = False    # checkpoint encoder activations (training memory)
     dtype: Any = jnp.float32
 
     @property
@@ -109,7 +110,11 @@ class SIFNet(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.image_filter = HGFilter(HGConfig(
+        # remat: recompute encoder activations in the backward pass — the
+        # 3-stack hourglass at 512^2 holds GBs of activations at training
+        # batch sizes; trading FLOPs for HBM keeps bs=8 on one chip
+        hg_cls = nn.remat(HGFilter) if c.remat else HGFilter
+        self.image_filter = hg_cls(HGConfig(
             input_channels=c.input_channels, num_stack=c.num_stack,
             num_hourglass=c.num_hourglass, hourglass_dim=c.hourglass_dim,
             tmpx_dim=c.tmpx_dim, dtype=c.dtype), name="image_filter")
@@ -119,9 +124,9 @@ class SIFNet(nn.Module):
                 num_hourglass=c.num_hourglass, hourglass_dim=c.triplane_hg_dim,
                 tmpx_dim=c.triplane_tmpx_dim, dtype=c.dtype)
             if c.triplane_shared:
-                self.triplane_encoder = HGFilter(tp_cfg, name="triplane_encoder")
+                self.triplane_encoder = hg_cls(tp_cfg, name="triplane_encoder")
             else:
-                self.triplane_encoders = [HGFilter(tp_cfg, name=f"triplane_encoder_{i}")
+                self.triplane_encoders = [hg_cls(tp_cfg, name=f"triplane_encoder_{i}")
                                           for i in range(3)]
         self.df = DecoderHead(2, c.hidden_dim, name="df")
         self.part_predictor = DecoderHead(c.num_parts, c.hidden_dim,
@@ -204,6 +209,16 @@ class SIFNet(nn.Module):
         if self.cfg.has_visibility:
             out["vis"] = self.visib_predictor(features)  # (B, N, 1)
         return out
+
+    def query_df(self, cache, points, crop_center, body_center):
+        """df head only, last stack — the surface-projection inner loop
+        (fit/generator.py) differentiates ONLY df w.r.t. points, so
+        skipping the other four heads cuts ~60% of the decode FLOPs in the
+        hottest stage-4 loop. Returns (B, N, 2) with OUT_DIST clamping."""
+        feat, in_img = self._point_features(cache, -1, points, crop_center,
+                                            body_center)
+        df = self.df(feat)
+        return jnp.where(in_img[..., None], df, self.cfg.out_dist)
 
     def query(self, cache, points, crop_center, body_center):
         """Query all cached stacks at 3D points.
