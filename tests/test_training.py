@@ -100,6 +100,9 @@ def test_infiller_clips_and_training_step(rng, tmp_path):
 
     # resume restores the saved step
     ckio = CheckpointIO(str(tmp_path / "exp"))
+    # template-free raw restore (used when loading weights for inference)
+    raw, at_raw = ckio.restore_latest()
+    assert "params" in raw and at_raw is not None
     restored, at = ckio.restore_latest(state)
     assert at == int(np.asarray(state["step"]))
     np.testing.assert_allclose(
@@ -160,3 +163,32 @@ def test_reexpress_in_camera_consistency(rng):
     nr, nt = reexpress_obj_in_camera(rots, otr, R, t)
     np.testing.assert_allclose(nr, R[None] @ rots, atol=1e-6)
     np.testing.assert_allclose(nt, otr @ R.T + t, atol=1e-5)
+
+
+def test_kinect_calib_roundtrip(tmp_path, rng):
+    """KinectCalib world<->local roundtrip and KinectTransform wiring."""
+    import json
+    from scipy.spatial.transform import Rotation
+    from vistracker_tpu.data.behave import KinectCalib, KinectTransform
+    seq = tmp_path / "Date01_Sub01_box"
+    cfg_dir = seq / "config"
+    R = Rotation.from_rotvec([0.2, -0.4, 0.1]).as_matrix()
+    t = np.array([0.3, -0.1, 1.2])
+    for kid in range(2):
+        d = cfg_dir / str(kid)
+        d.mkdir(parents=True)
+        with open(d / "config.json", "w") as f:
+            json.dump(dict(rotation=R.reshape(-1).tolist(),
+                           translation=t.tolist()), f)
+    with open(seq / "info.json", "w") as f:
+        json.dump(dict(cat="box", gender="male", kinects=[0, 1],
+                       config=str(cfg_dir), empty=None, intrinsic=None), f)
+
+    calib = KinectCalib(str(cfg_dir), 0)
+    pts = rng.randn(10, 3)
+    back = calib.local2world(calib.world2local(pts))
+    np.testing.assert_allclose(back, pts, atol=1e-10)
+
+    kt = KinectTransform(str(seq))
+    np.testing.assert_allclose(kt.world2local(pts, 1),
+                               calib.world2local(pts), atol=1e-12)

@@ -92,12 +92,20 @@ def run_real_track(args):
                             crop_size=args.crop_size) if tiny
                else SIFNetConfig(crop_size=args.crop_size))
     sifnet = SIFNet(sif_cfg, cam)
-    if args.sifnet_ckpt == "random":
+    def _init_sif():
         import jax.numpy as _j
-        sif_params = sifnet.init(
+        return sifnet.init(
             jax.random.PRNGKey(0),
             _j.zeros((1, args.net_size, args.net_size, 8)),
             _j.zeros((1, 8, 3)), _j.zeros((1, 2)), _j.zeros((1, 3)))
+
+    if args.sifnet_ckpt == "random":
+        sif_params = _init_sif()
+    elif os.path.isdir(args.sifnet_ckpt):
+        # orbax checkpoint from our own trainer (fit/trainer_loop.py)
+        from ..fit.trainer_loop import CheckpointIO
+        state, _ = CheckpointIO(args.sifnet_ckpt).restore_latest(None)
+        sif_params = state["params"] if "params" in state else state
     else:
         sif_params = TI.sifnet_params(args.sifnet_ckpt, sif_cfg)
     inf_cfg = InfillerConfig()

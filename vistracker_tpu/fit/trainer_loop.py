@@ -34,6 +34,9 @@ class LoopConfig:
     out_dir: str = "experiments/default"
     keep_checkpoints: int = 3
     debug_nans: bool = False        # analog of set_detect_anomaly
+    profile_steps: int = 0          # trace this many steps with jax.profiler
+                                    # (replaces the reference's ad-hoc
+                                    # time.time prints, SURVEY.md §5)
 
 
 class MetricLogger:
@@ -70,13 +73,19 @@ class CheckpointIO:
         self.mngr.save(step, args=ocp.args.StandardSave(state))
         self.mngr.wait_until_finished()
 
-    def restore_latest(self, template):
+    def restore_latest(self, template=None):
+        """Restore the newest checkpoint. With a template the result has the
+        template's exact structure/dtypes; without one the raw pytree (dicts
+        of arrays) is returned."""
         import orbax.checkpoint as ocp
         step = self.mngr.latest_step()
         if step is None:
             return None, None
-        state = self.mngr.restore(step,
-                                  args=ocp.args.StandardRestore(template))
+        if template is None:
+            state = self.mngr.restore(step)
+        else:
+            state = self.mngr.restore(step,
+                                      args=ocp.args.StandardRestore(template))
         return state, step
 
     def record_best(self, step: int, val_loss: float) -> bool:
@@ -134,12 +143,20 @@ def train_loop(state, step_fn: Callable, train_loader: Iterable,
 
     last_ck = time.time()
     step = int(np.asarray(getattr(state, "step", 0)))
+    profiling = False
     for epoch in range(cfg.num_epochs):
         for batch in train_loader:
+            if cfg.profile_steps and step == 1 and not profiling:
+                jax.profiler.start_trace(os.path.join(cfg.out_dir, "trace"))
+                profiling = True
             if to_device is not None:
                 batch = to_device(batch)
             state, loss, terms = step_fn(state, batch)
             step += 1
+            if profiling and step >= 1 + cfg.profile_steps:
+                jax.block_until_ready(loss)
+                jax.profiler.stop_trace()
+                profiling = False
             if step % 10 == 0:
                 logger.log(step, loss=float(loss), epoch=epoch,
                            **{f"loss_{k}": float(v) for k, v in terms.items()})
