@@ -381,6 +381,17 @@ def build_parser():
     ti.add_argument("--frames", type=int, default=120)
     ti.add_argument("--lr", type=float, default=1e-4)
 
+    rd = sub.add_parser("render", help="side-by-side GIF of packed recon(s)")
+    rd.add_argument("--recon", required=True, help="packed recon pkl")
+    rd.add_argument("--recon2", help="second recon (or GT pack) to compare")
+    rd.add_argument("--template", required=True, help="object template ply")
+    rd.add_argument("--smpl-model", required=True)
+    rd.add_argument("--out", default="render_out/side_by_side.gif")
+    rd.add_argument("--size", type=int, default=256)
+    rd.add_argument("--fps", type=int, default=15)
+    rd.add_argument("--max-frames", type=int, default=300)
+    rd.add_argument("--cpu", action="store_true")
+
     ev = sub.add_parser("evaluate", help="windowed eval of packed recon vs GT")
     ev.add_argument("--recon", help="packed recon pkl (single-sequence mode)")
     ev.add_argument("--gt", help="packed GT pkl (single-sequence mode)")
@@ -539,6 +550,65 @@ def run_train_infiller(args):
                       "downstream_rot_err_deg": rot_err}))
 
 
+def run_render(args):
+    """Side-by-side mesh rendering of packed reconstructions
+    (render/render_side_comp.py role, GIF output)."""
+    import jax.numpy as jnp
+    from ..core.smpl import load_smpl_pkl
+    from ..core.camera import PerspectiveCamera
+    from ..data.packed import load_packed_recon, recon_obj_verts, \
+        gt_obj_verts, load_packed
+    from ..utils.mesh import load_ply, decimate_faces
+    from ..render.viz import (render_meshes_perspective, side_by_side,
+                              save_video)
+    from ..eval.evaluator import smpl_verts_from_packed
+
+    model = load_smpl_pkl(args.smpl_model)
+    temp_v, temp_f = load_ply(args.template)
+    temp_v = temp_v - temp_v.mean(0)
+    temp_f = decimate_faces(temp_f, 2500)
+    smpl_f = decimate_faces(model.faces, 4000)
+    cam = PerspectiveCamera()
+
+    def load_verts(path):
+        d = load_packed(path)
+        poses = np.asarray(d["poses"]).reshape(len(d["poses"]), -1)
+        sv = smpl_verts_from_packed(model, poses, np.asarray(d["betas"]),
+                                    np.asarray(d["trans"]))
+        ga = np.asarray(d["obj_angles"])
+        if ga.ndim == 2:
+            ov = gt_obj_verts(temp_v, ga, np.asarray(d["obj_trans"]))
+        else:
+            scales = np.asarray(d.get("obj_scales", np.ones(len(ga))))
+            ov = recon_obj_verts(temp_v, ga, np.asarray(d["obj_trans"]),
+                                 np.where(np.isfinite(scales) & (scales > 0),
+                                          scales, 1.0))
+        return sv, ov
+
+    sv1, ov1 = load_verts(args.recon)
+    T = min(len(sv1), args.max_frames)
+
+    def render_all(sv, ov, colors):
+        frames = []
+        for i in range(T):
+            cc = np.asarray(cam.project_screen(
+                jnp.asarray(sv[i].mean(0, keepdims=True))[None]))[0, 0]
+            frames.append(render_meshes_perspective(
+                [(sv[i], smpl_f, colors[0]), (ov[i], temp_f, colors[1])],
+                cam, cc, size=args.size))
+        return np.stack(frames)
+
+    left = render_all(sv1, ov1, [(0.4, 0.6, 0.9), (0.9, 0.4, 0.4)])
+    if args.recon2:
+        sv2, ov2 = load_verts(args.recon2)
+        right = render_all(sv2, ov2, [(0.4, 0.8, 0.4), (0.9, 0.6, 0.2)])
+        video = side_by_side(left, right)
+    else:
+        video = left
+    out = save_video(video, args.out, args.fps)
+    print(out)
+
+
 def _eval_one(model, recon_path, gt_path, temp_v, temp_f, window, smpl_only):
     from ..data.packed import load_packed_recon, load_packed, \
         recon_obj_verts, gt_obj_verts
@@ -618,6 +688,8 @@ def main(argv=None):
         run_train_sifnet(args)
     elif args.cmd == "train-infiller":
         run_train_infiller(args)
+    elif args.cmd == "render":
+        run_render(args)
     elif args.cmd == "evaluate":
         run_evaluate(args)
 
