@@ -53,3 +53,13 @@ def test_perspective_render_and_video(tmp_path, rng):
     assert sbs.shape == (2, 64, 128, 3)
     out = save_video(sbs, str(tmp_path / "vid.gif"), fps=5)
     assert os.path.getsize(out) > 0
+
+
+def test_checkerboard_ground():
+    from vistracker_tpu.render.viz import checkerboard_ground
+    v, fw, fb = checkerboard_ground(tiles=4)
+    assert v.shape == ((5) ** 2, 3)
+    assert len(fw) + len(fb) == 4 * 4 * 2
+    np.testing.assert_allclose(v[:, 1], 1.0)  # flat plane at y=1
+    # disjoint tile sets
+    assert not set(map(tuple, fw.tolist())) & set(map(tuple, fb.tolist()))

@@ -100,6 +100,32 @@ def render_meshes_perspective(meshes, cam, crop_center, size: int = 256):
     return img
 
 
+def checkerboard_ground(center=(0.0, 1.0, 2.5), extent: float = 3.0,
+                        tiles: int = 10):
+    """Procedural checkerboard ground plane (render/checkerboard.py role).
+
+    Returns (verts (V, 3), faces_white (F, 3), faces_black (F, 3)) — render
+    the two face sets with alternating colors. The plane is y-up-normal at
+    height center[1] (BEHAVE's ground is roughly y ~ +1 in camera frames).
+    """
+    cx, cy, cz = center
+    lin = np.linspace(-extent / 2, extent / 2, tiles + 1, dtype=np.float32)
+    verts = np.stack(np.meshgrid(lin + cx, lin + cz, indexing="ij"),
+                     -1).reshape(-1, 2)
+    verts = np.stack([verts[:, 0], np.full(len(verts), cy, np.float32),
+                      verts[:, 1]], -1)
+    fw, fb = [], []
+    for i in range(tiles):
+        for j in range(tiles):
+            a = i * (tiles + 1) + j
+            b = a + 1
+            c = a + tiles + 1
+            d = c + 1
+            quad = [[a, b, c], [b, d, c]]
+            (fw if (i + j) % 2 == 0 else fb).extend(quad)
+    return (verts, np.asarray(fw, np.int32), np.asarray(fb, np.int32))
+
+
 def side_by_side(frames_left: np.ndarray, frames_right: np.ndarray) -> np.ndarray:
     """(T, H, W, 3) x2 -> (T, H, 2W, 3)."""
     return np.concatenate([frames_left, frames_right], axis=2)
