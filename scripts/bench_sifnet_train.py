@@ -8,9 +8,13 @@ config on one TPU chip, with encoder remat on (memory) and off.
 Usage: python scripts/bench_sifnet_train.py [--size 512] [--remat]
 """
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():

@@ -23,7 +23,7 @@ HUM_CENTER = np.array([-0.1, 0.0, 2.2], np.float32)
 HUM_RADIUS = 0.4
 
 
-def sphere_query_fn(points):
+def sphere_query_fn(ctx, points):
     """Analytic scene: human sphere + object sphere distance fields."""
     d_h = jnp.abs(jnp.linalg.norm(points - HUM_CENTER, axis=-1) - HUM_RADIUS)
     d_o = jnp.abs(jnp.linalg.norm(points - OBJ_CENTER_GT, axis=-1) - OBJ_RADIUS)
@@ -55,7 +55,10 @@ def _sphere_mesh(n_lat=8, n_lon=12, r=OBJ_RADIUS):
     return np.asarray(vs, np.float32), np.asarray(fs, np.int32)
 
 
-def project_px(points):
+def project_px(ctx=None, points=None):
+    if points is None:
+        points = ctx  # allow single-arg use in test setup
+
     fx, fy, cx, cy = 979.7844, 979.840, 1018.952, 779.486
     z = points[..., 2:3]
     return jnp.concatenate([points[..., 0:1] * fx / z + cx,
@@ -96,7 +99,7 @@ def test_object_optimizer_converges_to_gt_center(rng):
     # silhouette reference: GT sphere rendered through the same pipeline
     roi = np.tile(np.array([[700.0, 500.0, 700.0]], np.float32), (B, 1))
     gt_world = jnp.asarray(verts_t + OBJ_CENTER_GT)
-    px = project_px(gt_world[None])[0]
+    px = project_px(points=gt_world[None])[0]
     ndc = 2.0 * (px - roi[0, :2]) / roi[0, 2] - 1.0
     ref = soft_silhouette(ndc, sil_faces, cfg.sil_size, cfg.sil_sigma)
     sil = SilRefs(image_ref=jnp.broadcast_to(ref, (B,) + ref.shape),
@@ -138,8 +141,8 @@ def test_smpl_optimizer_runs_and_improves(rng):
                          smpl_max_iter=3)
     labels = rng.randint(0, 14, 96).astype(np.int32)
 
-    def project_norm(joints):
-        px = project_px(joints)
+    def project_norm(ctx, joints):
+        px = project_px(points=joints)
         cc = jnp.asarray([[1018.952, 779.486]])
         return 2.0 * (600.0 + px - cc[:, None, :]) / 1200.0 - 1.0
 

@@ -61,3 +61,43 @@ def test_avg_pool2x_matches_torch(rng):
     t = F.avg_pool2d(torch.from_numpy(x), 2, stride=2).numpy()
     ours = np.asarray(avg_pool2x(jnp.asarray(x.transpose(0, 2, 3, 1))))
     np.testing.assert_allclose(ours.transpose(0, 3, 1, 2), t, atol=1e-6)
+
+
+def test_packed_corner_sampling_matches_unpacked(rng):
+    import jax
+    from vistracker_tpu.ops.grid_sample import (pack_corners,
+                                                grid_sample_points_packed)
+    B, H, W, C, N = 2, 13, 17, 7, 500
+    feat = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    uv = jnp.asarray(rng.rand(B, N, 2).astype(np.float32) * 2.6 - 1.3)
+    ref = np.asarray(grid_sample_points(feat, uv))
+    out = np.asarray(grid_sample_points_packed(pack_corners(feat), uv))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+    # gradients w.r.t. query positions match too (generator projection path)
+    g1 = jax.grad(lambda u: grid_sample_points(feat, u).sum())(uv)
+    g2 = jax.grad(lambda u: grid_sample_points_packed(
+        pack_corners(feat), u).sum())(uv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+def test_packed_cache_query_parity(rng):
+    import jax
+    from vistracker_tpu.models.sifnet import SIFNet, SIFNetConfig, pack_cache
+    cfg = SIFNetConfig(num_stack=1, num_hourglass=1, hourglass_dim=32,
+                       tmpx_dim=32, triplane_stack=1, triplane_hg_dim=32,
+                       triplane_tmpx_dim=32, hidden_dim=16)
+    model = SIFNet(cfg)
+    B = 1
+    imgs = jnp.asarray(rng.rand(B, 32, 32, 8).astype(np.float32))
+    cc = jnp.asarray(np.array([[1018.0, 779.0]], np.float32))
+    bc = jnp.asarray(np.array([[0, 0, 2.2]], np.float32))
+    pts = jnp.asarray((rng.randn(B, 50, 3) * 0.3
+                       + np.array([0, 0, 2.2])).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), imgs, pts, cc, bc)
+    cache = model.apply(params, imgs, method=SIFNet.encode)
+    a = model.apply(params, cache, pts, cc, bc, method=SIFNet.query)[-1]
+    b = model.apply(params, pack_cache(cache), pts, cc, bc,
+                    method=SIFNet.query)[-1]
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   atol=1e-5, err_msg=k)

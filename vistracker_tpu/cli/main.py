@@ -152,12 +152,13 @@ def run_synthetic_track(args) -> dict:
         [rgb, person_masks[..., None], obj_masks[..., None],
          np.asarray(triplanes)], -1).astype(np.float32)
 
+    from ..models.sifnet import pack_cache
     sif_params = sifnet.init(jax.random.PRNGKey(2), jnp.asarray(images[:1]),
                              jnp.zeros((1, 8, 3)),
                              jnp.asarray(crop_centers[:1]),
                              body_centers[:1])
-    cache = sifnet.apply(sif_params, jnp.asarray(images),
-                         method=SIFNet.encode)
+    cache = pack_cache(sifnet.apply(sif_params, jnp.asarray(images),
+                                    method=SIFNet.encode))
     gen_cfg = GeneratorConfig(num_steps=4, num_rounds=2,
                               samples_per_round=args.gen_samples,
                               num_points=args.gen_points)
@@ -216,26 +217,27 @@ def run_synthetic_track(args) -> dict:
         sil_size=64, sil_sigma=1 / 32.0)
     cc = jnp.asarray(crop_centers)
     bc = body_centers
+    ctx = dict(params=sif_params, cache=cache, cc=cc, bc=bc)
 
-    def query_fn(points):
-        return sifnet.apply(sif_params, cache, points, cc, bc,
-                            method=SIFNet.query)[-1]
+    def query_fn(ctx, points):
+        return sifnet.apply(ctx["params"], ctx["cache"], points, ctx["cc"],
+                            ctx["bc"], method=SIFNet.query)[-1]
 
-    def project_norm(joints):
-        return cam.project_points(joints, cc)[..., :2]
+    def project_norm(ctx, joints):
+        return cam.project_points(joints, ctx["cc"])[..., :2]
 
     opt_smpl = make_smpl_optimizer(query_fn, project_norm, scene.model,
                                    scene.landmarks, scene.body_prior,
                                    scene.hand_prior, scene.part_labels, jcfg)
     kpts_norm = norm_kpts(scene.kpts, crop_centers)
-    smpl_final, _ = opt_smpl(params2, jnp.asarray(kpts_norm))
+    smpl_final, _ = opt_smpl(params2, jnp.asarray(kpts_norm), ctx)
 
     verts_final, _, _, _ = lbs_forward(scene.model, smpl_final.pose,
                                        smpl_final.betas, smpl_final.trans)
     sil = prepare_sil_refs(person_masks, obj_masks, crop_centers, 1200,
                            net_size, jcfg.sil_size)
 
-    def project_px(points):
+    def project_px(ctx, points):
         return cam.project_screen(points)
 
     opt_obj = make_object_optimizer(query_fn, project_px, jcfg)
@@ -245,7 +247,7 @@ def run_synthetic_track(args) -> dict:
     r_fin, t_fin, _ = opt_obj(
         jnp.asarray(rots_filled.transpose(0, 2, 1)), jnp.asarray(obj_t0),
         jnp.ones(T), obj_pts, verts_final, scene.part_labels,
-        jnp.asarray(occ), sil, obj_pts, jnp.asarray(scene.temp_faces))
+        jnp.asarray(occ), sil, obj_pts, jnp.asarray(scene.temp_faces), ctx)
     timings["joint_opt"] = time.time() - t0
 
     # ---------------- stage 7: pack + evaluate ----------------
@@ -472,9 +474,11 @@ def run_train_sifnet(args):
                               rng=np.random.RandomState(i))
 
     loader = PrefetchLoader(example, T, args.batch_size, num_workers=2)
+    # remat measured FASTER than storing activations at training sizes
+    # (12 vs 21 ms/step at bs 8, 512^2 — PERF_NOTES.md)
     cfg = SIFNetConfig(num_stack=1, num_hourglass=1, hourglass_dim=32,
                        tmpx_dim=32, triplane_stack=1, triplane_hg_dim=32,
-                       triplane_tmpx_dim=32, hidden_dim=16)
+                       triplane_tmpx_dim=32, hidden_dim=16, remat=True)
     model = SIFNet(cfg, cam)
     tcfg = TrainConfig(learning_rate=args.lr)
     to_dev = lambda b: {k: jnp.asarray(v) for k, v in b.items()}

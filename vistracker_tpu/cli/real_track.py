@@ -132,6 +132,23 @@ def run_real_track(args):
     run_infill = make_infiller(infiller, inf_cfg)
     os.makedirs(args.out, exist_ok=True)
 
+    # build the jitted optimizers ONCE; per-chunk data flows through `ctx`
+    # (closing over it would retrace + recompile every chunk)
+    def query_fn(ctx, points):
+        return sifnet.apply(ctx["params"], ctx["cache"], points, ctx["cc"],
+                            ctx["bc"], method=SIFNet.query)[-1]
+
+    def project_norm(ctx, joints):
+        return cam.project_points(joints, ctx["cc"])[..., :2]
+
+    def project_px(ctx, points):
+        return cam.project_screen(points)
+
+    opt_smpl = make_smpl_optimizer(query_fn, project_norm, smpl_model,
+                                   landmarks, body_prior, hand_prior,
+                                   part_labels, jcfg)
+    opt_obj = make_object_optimizer(query_fn, project_px, jcfg)
+
     all_out = dict(poses=[], betas=[], trans=[], obj_angles=[], obj_trans=[],
                    obj_scales=[], recon_exist=[])
 
@@ -201,7 +218,9 @@ def run_real_track(args):
         cc_j = jnp.asarray(crop_centers)
 
         # ---- stage 4: SIF-Net + generation ----
+        from ..models.sifnet import pack_cache
         cache = sifnet.apply(sif_params, images, method=SIFNet.encode)
+        cache = pack_cache(cache)  # one gather/point/map (PERF_NOTES.md)
         pc = generate(sif_params, cache, cc_j, body_centers,
                       jax.random.PRNGKey(c0))
         occ = np.asarray(pc["object"]["visibility"])[:, 0]
@@ -225,20 +244,8 @@ def run_real_track(args):
                         - crop_centers[:, None, :]) / args.crop_size - 1.0
             return np.concatenate([xy, k[..., 2:]], -1).astype(np.float32)
 
-        def query_fn(points):
-            return sifnet.apply(sif_params, cache, points, cc_j,
-                                body_centers, method=SIFNet.query)[-1]
-
-        def project_norm(joints):
-            return cam.project_points(joints, cc_j)[..., :2]
-
-        def project_px(points):
-            return cam.project_screen(points)
-
-        opt_smpl = make_smpl_optimizer(query_fn, project_norm, smpl_model,
-                                       landmarks, body_prior, hand_prior,
-                                       part_labels, jcfg)
-        smpl_final, _ = opt_smpl(p2, jnp.asarray(norm_kpts(kpts)))
+        ctx = dict(params=sif_params, cache=cache, cc=cc_j, bc=body_centers)
+        smpl_final, _ = opt_smpl(p2, jnp.asarray(norm_kpts(kpts)), ctx)
         verts_f, _, _, _ = lbs_forward(smpl_model, smpl_final.pose,
                                        smpl_final.betas, smpl_final.trans)
 
@@ -246,7 +253,6 @@ def run_real_track(args):
         om_net = np.stack([np.asarray(images[i, :, :, 4]) for i in range(B)])
         sil = prepare_sil_refs(pm_net, om_net, crop_centers, args.crop_size,
                                args.net_size, jcfg.sil_size)
-        opt_obj = make_object_optimizer(query_fn, project_px, jcfg)
         obj_t0 = np.asarray(pc["object"]["centers"]) + np.asarray(body_centers)
         obj_pts_b = jnp.broadcast_to(jnp.asarray(obj_points),
                                      (B,) + obj_points.shape)
@@ -254,7 +260,7 @@ def run_real_track(args):
         r_fin, t_fin, _ = opt_obj(
             jnp.asarray(rot_real.transpose(0, 2, 1)), jnp.asarray(obj_t0),
             jnp.ones(B), obj_pts_b, verts_f, part_labels, jnp.asarray(occ),
-            sil, sil_verts_b, jnp.asarray(sil_faces))
+            sil, sil_verts_b, jnp.asarray(sil_faces), ctx)
 
         all_out["poses"].append(np.asarray(smpl_final.pose))
         all_out["betas"].append(np.asarray(smpl_final.betas))

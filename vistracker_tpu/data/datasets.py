@@ -73,9 +73,12 @@ class PrefetchLoader:
         rng = np.random.RandomState(self.seed + 1000 + self.epoch)
 
         def produce(batch_indices, slot_q):
-            ex = [self._get(i, rng) for i in batch_indices]
-            batch = {k: np.stack([e[k] for e in ex], 0) for k in ex[0]}
-            slot_q.put(batch)
+            try:
+                ex = [self._get(i, rng) for i in batch_indices]
+                batch = {k: np.stack([e[k] for e in ex], 0) for k in ex[0]}
+                slot_q.put(batch)
+            except Exception as e:  # surface worker failures to the consumer
+                slot_q.put(e)
 
         def runner():
             threads = []
@@ -95,6 +98,8 @@ class PrefetchLoader:
             batch = out_q.get()
             if batch is None:
                 return
+            if isinstance(batch, Exception):
+                raise batch
             yield batch
 
     def __len__(self):

@@ -168,18 +168,21 @@ def make_smpl_optimizer(query_fn, project_fn, model: SMPLModel,
                         body_prior: MahalanobisPrior, hand_prior: HandPrior,
                         part_labels: np.ndarray,
                         cfg: JointFitConfig = JointFitConfig()):
-    """Build the jit'd optimize_smpl program.
+    """Build the jit'd optimize_smpl program ONCE per model; run per chunk.
 
-    query_fn(points (B,N,3)) -> head dict (df (B,N,2), parts (B,N,14), ...)
-    closing over the encoded image cache and crop/body centers.
-    project_fn(joints (B,J,3)) -> crop-normalized 2D (B,J,2), closing over
-    the camera and crop centers (the space the loaded keypoints live in).
+    query_fn(ctx, points (B,N,3)) -> head dict (df (B,N,2), parts, ...);
+    project_fn(ctx, joints (B,J,3)) -> crop-normalized 2D (B,J,2).
+    `ctx` is an arbitrary pytree (network params, encoded image cache, crop
+    and body centers) passed through optimize_smpl as a RUNTIME argument —
+    never close over per-chunk arrays: under jit they become embedded
+    constants and every chunk would retrace and recompile (minutes per
+    chunk on the axon tunnel, and giant compile payloads).
     """
     labels = jnp.asarray(part_labels)
 
-    def loss_terms(p: SMPLTParams, aux, phase_kpts: bool):
+    def loss_terms(p: SMPLTParams, aux, ctx, phase_kpts: bool):
         verts, _, _, _ = lbs_forward(model, p.pose, p.betas, p.trans)
-        preds = query_fn(verts)
+        preds = query_fn(ctx, verts)
         terms = {}
         terms["df_h"] = jnp.minimum(preds["df"][..., 0], cfg.df_h_clamp).mean()
         logp = jax.nn.log_softmax(preds["parts"], axis=-1)
@@ -194,7 +197,7 @@ def make_smpl_optimizer(query_fn, project_fn, model: SMPLModel,
         terms["pinit"] = jnp.sum((p.body_pose - aux["pose_init"]) ** 2,
                                  -1).mean()
         if phase_kpts:
-            proj = project_fn(joints)  # crop-normalized (B, 25, 2)
+            proj = project_fn(ctx, joints)  # crop-normalized (B, 25, 2)
             err = ((proj - aux["body_kpts"][..., :2]) ** 2).sum(-1)
             terms["j2d"] = (err * aux["body_kpts"][..., 2]).mean()
         if verts.shape[0] >= 4:
@@ -211,14 +214,14 @@ def make_smpl_optimizer(query_fn, project_fn, model: SMPLModel,
         return sum(terms[k] * w[k] * scale for k in terms if k in w)
 
     @jax.jit
-    def optimize_smpl(smpl: SMPLTParams, body_kpts):
+    def optimize_smpl(smpl: SMPLTParams, body_kpts, ctx=None):
         aux = dict(pose_init=smpl.body_pose, body_kpts=body_kpts)
         spi = cfg.steps_per_iter
 
         def mkloss(phase_kpts):
             def f(pdict, decay):
                 p = SMPLTParams(**pdict)
-                terms, _ = loss_terms(p, aux, phase_kpts)
+                terms, _ = loss_terms(p, aux, ctx, phase_kpts)
                 return weighted(terms, decay)
             return f
 
@@ -258,12 +261,13 @@ def make_object_optimizer(query_fn, project_px,
                           cfg: JointFitConfig = JointFitConfig()):
     """Build the jit'd optimize_smpl_object program.
 
-    query_fn(points (B,N,3)) -> head dict. project_px(points (B,N,3)) ->
-    original-image pixel coords (B,N,2), for the ROI silhouette. Runtime
-    inputs per chunk: template points (B, N_o, 3) (obj_points repeated),
-    occ_ratios (B,), smpl_verts (B, V, 3) (FROZEN during object phases, as
-    in the reference), part labels of SMPL verts, silhouette refs,
-    optional SDF grid.
+    query_fn(ctx, points (B,N,3)) -> head dict; project_px(ctx, points
+    (B,N,3)) -> original-image pixel coords (B,N,2) for the ROI silhouette.
+    `ctx` is a runtime pytree (params, cache, crop/body centers) — see
+    make_smpl_optimizer on why it must not be closed over. Other runtime
+    inputs per chunk: template points (B, N_o, 3), occ_ratios (B,),
+    smpl_verts (B, V, 3) (FROZEN during object phases, as in the
+    reference), part labels, silhouette refs, optional SDF grid.
     """
 
     def obj_losses(obj, preds, obj_s, occ, terms):
@@ -311,11 +315,11 @@ def make_object_optimizer(query_fn, project_px,
         hasf = has.astype(jnp.float32)
         return (losses * hasf).sum() / jnp.maximum(hasf.sum(), 1.0)
 
-    def sil_loss(obj_r, obj_t, obj_s, sil: SilRefs, sil_verts, sil_faces,
-                 occ):
+    def sil_loss(ctx, obj_r, obj_t, obj_s, sil: SilRefs, sil_verts,
+                 sil_faces, occ):
         """Occlusion-aware ROI silhouette L2 (SilLossROI.forward)."""
         verts = transform_obj_verts(sil_verts, obj_r, obj_t, obj_s)
-        px = project_px(verts)  # (B, V, 2) original-image pixels
+        px = project_px(ctx, verts)  # (B, V, 2) original-image pixels
 
         def one(p, roi):
             ndc = 2.0 * (p - roi[None, :2]) / roi[2] - 1.0
@@ -334,7 +338,7 @@ def make_object_optimizer(query_fn, project_px,
     @jax.jit
     def optimize_object(obj_r, obj_t, obj_s, obj_points, smpl_verts,
                         labels_h, occ_ratios, sil: SilRefs, sil_verts,
-                        sil_faces, sdf_grid: SDFGrid | None = None):
+                        sil_faces, ctx=None, sdf_grid: SDFGrid | None = None):
         spi = cfg.steps_per_iter
         B = obj_t.shape[0]
         labels_h = jnp.asarray(labels_h)
@@ -346,7 +350,7 @@ def make_object_optimizer(query_fn, project_px,
         # ---------------- phase 1: object only ----------------
         def loss_obj(p, decay):
             obj, _ = transformed(p)
-            preds = query_fn(obj)
+            preds = query_fn(ctx, obj)
             terms = {}
             obj_losses(obj, preds, obj_s, occ_ratios, terms)
             temporal(obj, False, terms)
@@ -373,8 +377,8 @@ def make_object_optimizer(query_fn, project_px,
         def loss_sil(p, decay):
             obj, r = transformed(p)
             terms = {}
-            terms["mask"] = sil_loss(r, p["obj_t"], obj_s, sil, sil_verts,
-                                     sil_faces, occ_ratios)
+            terms["mask"] = sil_loss(ctx, r, p["obj_t"], obj_s, sil,
+                                     sil_verts, sil_faces, occ_ratios)
             terms["scale"] = ((obj_s - cfg.obj_scale) ** 2).mean()
             terms["trans"] = ((p["obj_t"] - trans_init) ** 2).mean()
             temporal(obj, False, terms)
@@ -389,18 +393,18 @@ def make_object_optimizer(query_fn, project_px,
         # contact dfs computed ONCE from the phase-2 result and frozen
         # (recon_fit_trivis_full.py:242-253)
         obj_now, _ = transformed(params)
-        preds_o = query_fn(obj_now)
+        preds_o = query_fn(ctx, obj_now)
         df_obj_h = jax.lax.stop_gradient(preds_o["df"][..., 0])   # human df at obj pts
         labels_o = jnp.argmax(
             jax.lax.stop_gradient(preds_o["parts"]), -1)          # (B, N_o)
-        preds_h = query_fn(smpl_verts)
+        preds_h = query_fn(ctx, smpl_verts)
         df_hum_o = jax.lax.stop_gradient(preds_h["df"][..., 1])   # obj df at smpl verts
         mask_h = df_hum_o < cfg.cont_thres
         mask_o = df_obj_h < cfg.cont_thres
 
         def loss_joint(p, decay):
             obj, r = transformed(p)
-            preds = query_fn(obj)
+            preds = query_fn(ctx, obj)
             terms = {}
             obj_losses(obj, preds, obj_s, occ_ratios, terms)
             temporal(obj, True, terms)

@@ -34,7 +34,25 @@ import flax.linen as nn
 
 from .hourglass import HGFilter, HGConfig
 from ..core.camera import PerspectiveCamera, triplane_project
-from ..ops.grid_sample import grid_sample_points
+from ..ops.grid_sample import (grid_sample_points, grid_sample_points_packed,
+                               pack_corners)
+
+
+def pack_cache(cache: dict) -> dict:
+    """Repack an encode() cache into the corner-packed layout: sampling then
+    needs ONE gather per point per map instead of four (TPU gathers are
+    row-count bound, PERF_NOTES.md). 4x cache memory; numerically exact.
+    Use for inference (generator + joint optimization), where the cache is
+    sampled hundreds of times."""
+    # the marker is an EMPTY TUPLE: pytree structure (hence static under
+    # jit), not a traced leaf like a bool would be
+    return dict(
+        packed=(),
+        rgb_feats=[pack_corners(f) for f in cache["rgb_feats"]],
+        tmpx=pack_corners(cache["tmpx"]),
+        tp_feats=[[pack_corners(f) for f in fl] for fl in cache["tp_feats"]],
+        tp_tmpx=[pack_corners(t) for t in cache["tp_tmpx"]],
+    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -182,16 +200,17 @@ class SIFNet(nn.Module):
         z_feat = jnp.concatenate(
             [points[..., 0:2], points[..., 2:3] - self.cfg.z0], axis=-1)
 
-        feats = [grid_sample_points(cache["rgb_feats"][stack_idx], xy), z_feat,
-                 grid_sample_points(cache["tmpx"], xy)]
+        sample = (grid_sample_points_packed if "packed" in cache
+                  else grid_sample_points)
+        feats = [sample(cache["rgb_feats"][stack_idx], xy), z_feat,
+                 sample(cache["tmpx"], xy)]
         if self.cfg.has_triplane:
             tp_uv = triplane_project(points, body_center)  # (B, 3, N, 2)
             for p in range(3):
-                feats.append(grid_sample_points(cache["tp_tmpx"][p],
-                                                tp_uv[:, p]))
+                feats.append(sample(cache["tp_tmpx"][p], tp_uv[:, p]))
             for p in range(3):
-                feats.append(grid_sample_points(
-                    cache["tp_feats"][p][stack_idx], tp_uv[:, p]))
+                feats.append(sample(cache["tp_feats"][p][stack_idx],
+                                    tp_uv[:, p]))
         # reorder to reference layout: tmpx triplanes concatenated before
         # per-plane hourglass feats (chore_triplane.py:135,144-149)
         out = jnp.concatenate(feats, axis=-1)

@@ -69,3 +69,67 @@ def grid_sample_points_nchw(feat: jax.Array, uv: jax.Array) -> jax.Array:
     """(B, C, H, W) + (B, N, 2) -> (B, C, N), mirroring the reference layout."""
     out = grid_sample_points(jnp.transpose(feat, (0, 2, 3, 1)), uv)
     return jnp.transpose(out, (0, 2, 1))
+
+
+def pack_corners(feat: jax.Array) -> jax.Array:
+    """Pack each position's 2x2 bilinear neighborhood into one row.
+
+    (B, H, W, C) -> (B, H, W, 4C) with channels [f(y,x), f(y,x+1),
+    f(y+1,x), f(y+1,x+1)] (zero beyond the border). TPU gathers are
+    row-count bound with weak width dependence (PERF_NOTES.md), so sampling
+    from a packed map needs ONE gather per point instead of four — ~2x on
+    the query-path gather floor at 4x cache memory.
+    """
+    B, H, W, C = feat.shape
+    p = jnp.pad(feat, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    return jnp.concatenate([p[:, :H, :W], p[:, :H, 1:W + 1],
+                            p[:, 1:H + 1, :W], p[:, 1:H + 1, 1:W + 1]], -1)
+
+
+def grid_sample_points_packed(packed: jax.Array, uv: jax.Array) -> jax.Array:
+    """Bilinear sample from a pack_corners() map: one gather per point.
+
+    packed: (B, H, W, 4C); uv: (B, N, 2) in [-1, 1]. Matches
+    grid_sample_points(feat, uv) exactly (align_corners=True, zero pad).
+    """
+    B, H, W, C4 = packed.shape
+    C = C4 // 4
+    x = (uv[..., 0] + 1.0) * 0.5 * (W - 1)
+    y = (uv[..., 1] + 1.0) * 0.5 * (H - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0)[..., None].astype(packed.dtype)
+    wy = (y - y0)[..., None].astype(packed.dtype)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    base_valid = (x0i >= -1) & (x0i < W) & (y0i >= -1) & (y0i < H)
+    xc = jnp.clip(x0i, 0, W - 1)
+    yc = jnp.clip(y0i, 0, H - 1)
+    flat = packed.reshape(B, H * W, C4)
+    rows = jnp.take_along_axis(flat, (yc * W + xc)[..., None], axis=1)
+    rows = rows * base_valid[..., None].astype(packed.dtype)
+    f00, f01, f10, f11 = jnp.split(rows, 4, axis=-1)
+
+    # When x0 == -1 the gather was clipped to x=0, so the packed row is
+    # centered one column right of the true base: corner (i, j) lives in
+    # slot (i - sy, j - sx). Out-of-range slots correspond to corners whose
+    # weight is already zero (vx0/vy0), so their value is irrelevant.
+    sx = (x0i < 0)[..., None]
+    sy = (y0i < 0)[..., None]
+    dt = packed.dtype
+    vx0 = ((x0i >= 0) & (x0i < W))[..., None].astype(dt)
+    vx1 = ((x0i + 1 >= 0) & (x0i + 1 < W))[..., None].astype(dt)
+    vy0 = ((y0i >= 0) & (y0i < H))[..., None].astype(dt)
+    vy1 = ((y0i + 1 >= 0) & (y0i + 1 < H))[..., None].astype(dt)
+    c00 = f00
+    c01 = jnp.where(sx, f00, f01)
+    c10 = jnp.where(sy, f00, f10)
+    c11 = jnp.where(sy, jnp.where(sx, f00, f01),
+                    jnp.where(sx, f10, f11))
+
+    w00 = (1 - wx) * (1 - wy) * vx0 * vy0
+    w01 = wx * (1 - wy) * vx1 * vy0
+    w10 = (1 - wx) * wy * vx0 * vy1
+    w11 = wx * wy * vx1 * vy1
+    return c00 * w00 + c01 * w01 + c10 * w10 + c11 * w11
