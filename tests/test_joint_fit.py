@@ -160,3 +160,36 @@ def test_smpl_optimizer_runs_and_improves(rng):
     assert losses[-1] < losses[0], (losses[0], losses[-1])
     # hand pose never optimized
     np.testing.assert_allclose(np.asarray(params.hand_pose), 0.0, atol=1e-7)
+
+
+def test_early_stop_variant_converges(rng):
+    """With early stopping enabled the optimizer still converges and the
+    while_loop machinery runs under jit."""
+    import dataclasses
+    cfg = JointFitConfig(iter_obj=3, iter_sil=1, joint_max_iter=20,
+                         sil_size=64, sil_sigma=1 / 32.0, early_stop=True,
+                         early_stop_min_frac=0.1)
+    verts_t, faces_t = _sphere_mesh()
+    opt = make_object_optimizer(sphere_query_fn, project_px, cfg)
+    pts = verts_t[None].repeat(B, 0)
+    roi = np.tile(np.array([[700.0, 500.0, 700.0]], np.float32), (B, 1))
+    ref = soft_silhouette(
+        jnp.asarray(2.0 * (np.asarray(project_px(points=jnp.asarray(
+            verts_t + OBJ_CENTER_GT)[None]))[0] - roi[0, :2]) / roi[0, 2] - 1.0),
+        jnp.asarray(faces_t), cfg.sil_size, cfg.sil_sigma)
+    sil = SilRefs(image_ref=jnp.broadcast_to(ref, (B,) + ref.shape),
+                  keep_mask=jnp.ones((B, cfg.sil_size, cfg.sil_size)),
+                  roi_xyb=jnp.asarray(roi))
+    obj_t = jnp.asarray(np.tile(OBJ_CENTER_GT + np.array(
+        [0.1, -0.05, 0.05], np.float32), (B, 1)))
+    smpl_verts = jnp.asarray(
+        HUM_CENTER + HUM_RADIUS * _sphere_mesh(r=1.0)[0][None].repeat(B, 0))
+    r_fin, t_fin, losses = opt(
+        jnp.broadcast_to(jnp.eye(3), (B, 3, 3)), obj_t, jnp.ones(B),
+        jnp.asarray(pts), smpl_verts,
+        np.full(smpl_verts.shape[1], 11, np.int32), jnp.ones(B), sil,
+        jnp.asarray(pts), jnp.asarray(faces_t))
+    assert np.isfinite(np.asarray(losses)).all()
+    err1 = np.linalg.norm(np.asarray(t_fin) - OBJ_CENTER_GT, axis=-1).mean()
+    err0 = np.linalg.norm(np.asarray(obj_t) - OBJ_CENTER_GT, axis=-1).mean()
+    assert err1 < err0, (err0, err1)

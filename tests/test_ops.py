@@ -101,3 +101,25 @@ def test_packed_cache_query_parity(rng):
     for k in a:
         np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
                                    atol=1e-5, err_msg=k)
+
+
+def test_selective_pack_cache_parity(rng):
+    import jax
+    from vistracker_tpu.models.sifnet import SIFNet, SIFNetConfig, pack_cache
+    cfg = SIFNetConfig(num_stack=1, num_hourglass=1, hourglass_dim=32,
+                       tmpx_dim=32, triplane_stack=1, triplane_hg_dim=32,
+                       triplane_tmpx_dim=32, hidden_dim=16)
+    model = SIFNet(cfg)
+    imgs = jnp.asarray(rng.rand(1, 32, 32, 8).astype(np.float32))
+    cc = jnp.asarray(np.array([[1018.0, 779.0]], np.float32))
+    bc = jnp.asarray(np.array([[0, 0, 2.2]], np.float32))
+    pts = jnp.asarray((rng.randn(1, 40, 3) * 0.3
+                       + np.array([0, 0, 2.2])).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), imgs, pts, cc, bc)
+    cache = model.apply(params, imgs, method=SIFNet.encode)
+    ref = model.apply(params, cache, pts, cc, bc, method=SIFNet.query)[-1]
+    mixed = model.apply(params, pack_cache(cache, pack_tmpx=False), pts, cc,
+                        bc, method=SIFNet.query)[-1]
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(ref[k]), np.asarray(mixed[k]),
+                                   atol=1e-5, err_msg=k)

@@ -126,7 +126,7 @@ def run_real_track(args):
         if args.smoothnet_objrot_ckpt else None
 
     fit_cfg = SMPLTFitConfig()
-    jcfg = JointFitConfig()
+    jcfg = JointFitConfig(early_stop=True)  # reference semantics
     gen_cfg = GeneratorConfig()
     generate = make_generator(sifnet_query_fn(sifnet), gen_cfg)
     run_infill = make_infiller(infiller, inf_cfg)
@@ -220,7 +220,11 @@ def run_real_track(args):
         # ---- stage 4: SIF-Net + generation ----
         from ..models.sifnet import pack_cache
         cache = sifnet.apply(sif_params, images, method=SIFNet.encode)
-        cache = pack_cache(cache)  # one gather/point/map (PERF_NOTES.md)
+        # corner packing (PERF_NOTES.md); packing the half-res stem maps too
+        # quadruples the dominant memory term — only below ~2 GB
+        tmpx_bytes = 4 * B * (args.net_size // 2) ** 2 * 4 * (
+            sif_cfg.tmpx_dim + 3 * sif_cfg.triplane_tmpx_dim)
+        cache = pack_cache(cache, pack_tmpx=tmpx_bytes < 2e9)
         pc = generate(sif_params, cache, cc_j, body_centers,
                       jax.random.PRNGKey(c0))
         occ = np.asarray(pc["object"]["visibility"])[:, 0]

@@ -87,6 +87,12 @@ class JointFitConfig:
     sil_size: int = 256
     sil_sigma: float = 1.0 / 128.0
     collision: bool = False  # reference gates this by hostname
+    # early stopping (reference semantics); off by default so fixed-budget
+    # runs and tests stay deterministic in length
+    early_stop: bool = False
+    smpl_rel_tol: float = 1e-3   # recon_fit_behave.py:165
+    joint_rel_tol: float = 1e-4  # recon_fit_trivis_full.py:372
+    early_stop_min_frac: float = 0.25
     # loss weight base constants (w * cst / (1 + decay))
     w_pose: float = 1e-5
     w_hand: float = 1e-5
@@ -157,6 +163,57 @@ def _adam_scan(loss_fn: Callable, params, lrs: dict, n_steps: int,
     (params, _), losses = jax.lax.scan(body, (params, state),
                                        jnp.arange(n_steps))
     return params, losses
+
+
+def _adam_while(loss_fn: Callable, params, lrs: dict, max_iters: int,
+                steps_per_iter: int, decay_fn: Callable,
+                rel_tol: float, min_iter_frac: float):
+    """Early-stopping phase runner: a lax.while_loop over ITERATIONS (each
+    = steps_per_iter Adam steps), stopping once the relative loss change
+    between iteration boundaries satisfies the reference criterion
+    |prev - loss| / prev < prev * rel_tol after min_iter_frac * max_iters
+    iterations (recon_fit_behave.py:165-169, recon_fit_trivis_full.py:
+    372-375 — there checked per step; iteration granularity here keeps the
+    loop body a fixed-shape scan).
+
+    Returns (params, final_loss, iters_used). No per-step loss trace (a
+    while_loop cannot stack outputs).
+    """
+    label = {k: k for k in params}
+    opt = optax.multi_transform(
+        {k: optax.adam(lr) if lr > 0 else optax.set_to_zero()
+         for k, lr in lrs.items()}, label)
+    state = opt.init(params)
+
+    def one_iter(p, s, it):
+        def step(k, carry):
+            p, s, _ = carry
+            decay = decay_fn(it * steps_per_iter + k)
+            loss, grads = jax.value_and_grad(loss_fn)(p, decay)
+            grads = {k2: g * (1.0 if lrs[k2] > 0 else 0.0)
+                     for k2, g in grads.items()}
+            updates, s = opt.update(grads, s)
+            p = optax.apply_updates(p, updates)
+            return (p, s, loss)
+        return jax.lax.fori_loop(0, steps_per_iter, step,
+                                 (p, s, jnp.float32(0.0)))
+
+    def cond(carry):
+        _, _, _, it, done = carry
+        return (it < max_iters) & ~done
+
+    def body(carry):
+        p, s, prev, it, _ = carry
+        p, s, loss = one_iter(p, s, it)
+        rel = jnp.abs(prev - loss) / jnp.maximum(jnp.abs(prev), 1e-12)
+        done = (rel < jnp.abs(prev) * rel_tol) & \
+            (it > min_iter_frac * max_iters)
+        return (p, s, loss, it + 1, done)
+
+    p, _, loss, iters, _ = jax.lax.while_loop(
+        cond, body, (params, state, jnp.float32(300.0), jnp.int32(0),
+                     jnp.asarray(False)))
+    return p, loss, iters
 
 
 # ---------------------------------------------------------------------------
@@ -241,13 +298,19 @@ def make_smpl_optimizer(query_fn, project_fn, model: SMPLModel,
             cfg.iter_pose * spi, lambda s: jnp.float32(1.0))
         # phase 3: + keypoints, decay it/3 (it counts from 0 globally)
         off = (cfg.iter_betas + cfg.iter_pose) * spi
-        pdict, l3 = _adam_scan(
-            mkloss(True), pdict,
-            {**zero, "trans": cfg.lr_pose, "global_pose": cfg.lr_pose,
-             "body_pose": cfg.lr_pose, "top_betas": cfg.lr_pose,
-             "other_betas": cfg.lr_pose},
-            (cfg.iter_kpts + cfg.smpl_max_iter) * spi,
-            lambda s: ((s + off) // spi).astype(jnp.float32) / 3.0)
+        lrs3 = {**zero, "trans": cfg.lr_pose, "global_pose": cfg.lr_pose,
+                "body_pose": cfg.lr_pose, "top_betas": cfg.lr_pose,
+                "other_betas": cfg.lr_pose}
+        decay3 = lambda s: ((s + off) // spi).astype(jnp.float32) / 3.0
+        n3 = cfg.iter_kpts + cfg.smpl_max_iter
+        if cfg.early_stop:
+            pdict, last, _ = _adam_while(mkloss(True), pdict, lrs3, n3, spi,
+                                         decay3, cfg.smpl_rel_tol,
+                                         cfg.early_stop_min_frac)
+            l3 = last[None]
+        else:
+            pdict, l3 = _adam_scan(mkloss(True), pdict, lrs3, n3 * spi,
+                                   decay3)
         return SMPLTParams(**pdict), jnp.concatenate([l1, l2, l3])
 
     return optimize_smpl
@@ -420,11 +483,18 @@ def make_object_optimizer(query_fn, project_px,
             return _weighted(terms, decay)
 
         off = cfg.iter_obj * spi  # decay references it - iter_obj + 1
-        params, l3 = run_phase(
-            loss_joint, params, {"obj_r": 0.0, "obj_t": cfg.lr_joint},
-            cfg.joint_max_iter,
-            lambda s: (((s + (cfg.iter_obj + cfg.iter_sil) * spi) // spi
-                        - cfg.iter_obj + 1).astype(jnp.float32)) / 3.0)
+        decay_j = lambda s: (((s + (cfg.iter_obj + cfg.iter_sil) * spi) // spi
+                              - cfg.iter_obj + 1).astype(jnp.float32)) / 3.0
+        lrs_j = {"obj_r": 0.0, "obj_t": cfg.lr_joint}
+        if cfg.early_stop:
+            params, last, _ = _adam_while(loss_joint, params, lrs_j,
+                                          cfg.joint_max_iter, spi, decay_j,
+                                          cfg.joint_rel_tol,
+                                          cfg.early_stop_min_frac)
+            l3 = last[None]
+        else:
+            params, l3 = run_phase(loss_joint, params, lrs_j,
+                                   cfg.joint_max_iter, decay_j)
 
         r_final = decopose_axis(params["obj_r"])
         return r_final, params["obj_t"], jnp.concatenate([l1, l2, l3])

@@ -38,21 +38,34 @@ from ..ops.grid_sample import (grid_sample_points, grid_sample_points_packed,
                                pack_corners)
 
 
-def pack_cache(cache: dict) -> dict:
+def pack_cache(cache: dict, pack_tmpx: bool = True) -> dict:
     """Repack an encode() cache into the corner-packed layout: sampling then
     needs ONE gather per point per map instead of four (TPU gathers are
     row-count bound, PERF_NOTES.md). 4x cache memory; numerically exact.
     Use for inference (generator + joint optimization), where the cache is
-    sampled hundreds of times."""
-    # the marker is an EMPTY TUPLE: pytree structure (hence static under
-    # jit), not a traced leaf like a bool would be
-    return dict(
+    sampled hundreds of times.
+
+    pack_tmpx=False leaves the half-resolution stem maps (tmpx/tp_tmpx)
+    unpacked — they are 4x the pixels of the hourglass maps, and packing
+    them quadruples the dominant memory term (e.g. 96 frames at 512² would
+    exceed one chip's HBM). Mixed caches work: per-map packing is detected
+    by each map's own marker entry.
+    """
+    # markers are EMPTY TUPLES: pytree structure (static under jit),
+    # not traced leaves like bools would be
+    out = dict(
         packed=(),
         rgb_feats=[pack_corners(f) for f in cache["rgb_feats"]],
-        tmpx=pack_corners(cache["tmpx"]),
         tp_feats=[[pack_corners(f) for f in fl] for fl in cache["tp_feats"]],
-        tp_tmpx=[pack_corners(t) for t in cache["tp_tmpx"]],
     )
+    if pack_tmpx:
+        out["tmpx_packed"] = ()
+        out["tmpx"] = pack_corners(cache["tmpx"])
+        out["tp_tmpx"] = [pack_corners(t) for t in cache["tp_tmpx"]]
+    else:
+        out["tmpx"] = cache["tmpx"]
+        out["tp_tmpx"] = list(cache["tp_tmpx"])
+    return out
 
 
 @dataclasses.dataclass(frozen=True)
@@ -202,12 +215,14 @@ class SIFNet(nn.Module):
 
         sample = (grid_sample_points_packed if "packed" in cache
                   else grid_sample_points)
+        sample_tmpx = (grid_sample_points_packed if "tmpx_packed" in cache
+                       else grid_sample_points)
         feats = [sample(cache["rgb_feats"][stack_idx], xy), z_feat,
-                 sample(cache["tmpx"], xy)]
+                 sample_tmpx(cache["tmpx"], xy)]
         if self.cfg.has_triplane:
             tp_uv = triplane_project(points, body_center)  # (B, 3, N, 2)
             for p in range(3):
-                feats.append(sample(cache["tp_tmpx"][p], tp_uv[:, p]))
+                feats.append(sample_tmpx(cache["tp_tmpx"][p], tp_uv[:, p]))
             for p in range(3):
                 feats.append(sample(cache["tp_feats"][p][stack_idx],
                                     tp_uv[:, p]))
