@@ -193,3 +193,42 @@ def test_early_stop_variant_converges(rng):
     err1 = np.linalg.norm(np.asarray(t_fin) - OBJ_CENTER_GT, axis=-1).mean()
     err0 = np.linalg.norm(np.asarray(obj_t) - OBJ_CENTER_GT, axis=-1).mean()
     assert err1 < err0, (err0, err1)
+
+
+def test_smpl_query_subsampling(rng):
+    """Subsampled-vertex smpl optimization still converges and is cheaper
+    in traced query size."""
+    model = S.random_smpl_model(0, num_joints=52, num_verts=96)
+    reg = rng.rand(25, 96).astype(np.float32)
+    reg /= reg.sum(1, keepdims=True)
+    lms = BodyLandmarks(body25=jnp.asarray(reg), face=jnp.asarray(reg[:1]),
+                        hand=jnp.asarray(reg[:1]))
+    bp = MahalanobisPrior(mean=jnp.zeros(63), prec=jnp.eye(63) * 0.1)
+    hp = HandPrior(mean=jnp.zeros(90), lhand_prec=jnp.eye(45) * 0.1,
+                   rhand_prec=jnp.eye(45) * 0.1)
+    cfg = JointFitConfig(iter_betas=1, iter_pose=1, iter_kpts=1,
+                         smpl_max_iter=3, smpl_query_points=32)
+    labels = rng.randint(0, 14, 96).astype(np.int32)
+    seen = []
+
+    def counting_query(ctx, points):
+        seen.append(points.shape[1])
+        return sphere_query_fn(ctx, points)
+
+    def project_norm(ctx, joints):
+        px = project_px(points=joints)
+        cc = jnp.asarray([[1018.952, 779.486]])
+        return 2.0 * (600.0 + px - cc[:, None, :]) / 1200.0 - 1.0
+
+    opt = make_smpl_optimizer(counting_query, project_norm, model, lms, bp,
+                              hp, labels, cfg)
+    init = SMPLTParams.from_full(
+        jnp.zeros((B, 156)), jnp.zeros((B, 10)),
+        jnp.asarray(np.tile(HUM_CENTER + np.array([0.1, 0.0, 0.3], np.float32),
+                            (B, 1))))
+    kpts = jnp.concatenate([jnp.zeros((B, 25, 2)), jnp.ones((B, 25, 1))], -1)
+    params, losses = opt(init, kpts)
+    assert all(n == 32 for n in seen), seen  # only the subset queried
+    losses = np.asarray(losses)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

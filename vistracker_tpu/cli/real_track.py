@@ -126,7 +126,7 @@ def run_real_track(args):
         if args.smoothnet_objrot_ckpt else None
 
     fit_cfg = SMPLTFitConfig()
-    jcfg = JointFitConfig(early_stop=True)  # reference semantics
+    jcfg = JointFitConfig(early_stop=True, smpl_query_points=2048)
     gen_cfg = GeneratorConfig()
     generate = make_generator(sifnet_query_fn(sifnet), gen_cfg)
     run_infill = make_infiller(infiller, inf_cfg)

@@ -93,6 +93,11 @@ class JointFitConfig:
     smpl_rel_tol: float = 1e-3   # recon_fit_behave.py:165
     joint_rel_tol: float = 1e-4  # recon_fit_trivis_full.py:372
     early_stop_min_frac: float = 0.25
+    # query only this many SMPL vertices (evenly strided) in the df/part
+    # losses; 0 = all 6890 (reference). The query is gather-bound at
+    # ~0.6 us/point (PERF_NOTES.md), so 2048 cuts the smpl-phase step time
+    # ~3x; the CE term is rescaled to keep the loss balance.
+    smpl_query_points: int = 0
     # loss weight base constants (w * cst / (1 + decay))
     w_pose: float = 1e-5
     w_hand: float = 1e-5
@@ -236,17 +241,27 @@ def make_smpl_optimizer(query_fn, project_fn, model: SMPLModel,
     chunk on the axon tunnel, and giant compile payloads).
     """
     labels = jnp.asarray(part_labels)
+    n_verts = len(part_labels)
+    if cfg.smpl_query_points and cfg.smpl_query_points < n_verts:
+        q_idx = np.linspace(0, n_verts - 1, cfg.smpl_query_points,
+                            dtype=np.int64)
+        ce_scale = n_verts / float(cfg.smpl_query_points)
+    else:
+        q_idx = None
+        ce_scale = 1.0
+    labels_q = labels if q_idx is None else labels[jnp.asarray(q_idx)]
 
     def loss_terms(p: SMPLTParams, aux, ctx, phase_kpts: bool):
         verts, _, _, _ = lbs_forward(model, p.pose, p.betas, p.trans)
-        preds = query_fn(ctx, verts)
+        qverts = verts if q_idx is None else verts[:, jnp.asarray(q_idx)]
+        preds = query_fn(ctx, qverts)
         terms = {}
         terms["df_h"] = jnp.minimum(preds["df"][..., 0], cfg.df_h_clamp).mean()
         logp = jax.nn.log_softmax(preds["parts"], axis=-1)
         ce = -jnp.take_along_axis(
-            logp, jnp.broadcast_to(labels, verts.shape[:2])[..., None],
+            logp, jnp.broadcast_to(labels_q, qverts.shape[:2])[..., None],
             axis=-1)[..., 0]
-        terms["part"] = ce.sum(-1).mean()
+        terms["part"] = ce.sum(-1).mean() * ce_scale
         terms["pose"] = body_prior(p.pose[:, :72]).mean()
         terms["hand"] = hand_prior(p.pose).mean()
         joints = landmarks.body_joints(verts)

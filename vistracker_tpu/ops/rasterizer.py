@@ -119,6 +119,12 @@ def soft_silhouette(v2d: jax.Array, faces: jax.Array, size: int = 256,
     Per face: p_f(pixel) = sigmoid(min_i signed_edge_dist_i / sigma); the
     image combines faces with max. sigma ~ (2/size) gives a ~1-pixel soft
     boundary.
+
+    The face-chunk loop is a lax.scan with a CHECKPOINTED body: without
+    remat, reverse-mode AD saves every chunk's (chunk, 3, P) edge values —
+    tens of GB per optimization step at batch size (the 2023-vintage OOM
+    this replaced); recomputing them in the backward pass costs one extra
+    matmul per chunk.
     """
     grid = jnp.asarray(pixel_grid(size))
     F = faces.shape[0]
@@ -130,19 +136,21 @@ def soft_silhouette(v2d: jax.Array, faces: jax.Array, size: int = 256,
     # normalize -> signed distance to edge line, oriented inside-positive
     coeffs = coeffs * (orient[:, None, None] / lengths[..., None])
     n_chunks = faces_p.shape[0] // chunk
+    coeffs_c = coeffs.reshape(n_chunks, chunk, 3, 3)
+    valid_c = valid.reshape(n_chunks, chunk)
 
-    def body(i, sil):
-        sl = jax.lax.dynamic_slice_in_dim(coeffs, i * chunk, chunk, 0)
-        vl = jax.lax.dynamic_slice_in_dim(valid, i * chunk, chunk, 0)
+    @jax.checkpoint
+    def body(sil, inp):
+        sl, vl = inp
         e = jnp.einsum("fip,pn->fin", sl, grid,
                        precision=jax.lax.Precision.HIGHEST)
         sdf = jnp.min(e, axis=1)                              # (chunk, P)
         p = jax.nn.sigmoid(sdf / sigma)
         p = jnp.where(vl[:, None], p, 0.0)
-        return jnp.maximum(sil, jnp.max(p, axis=0))
+        return jnp.maximum(sil, jnp.max(p, axis=0)), None
 
-    sil = jax.lax.fori_loop(0, n_chunks, body,
-                            jnp.zeros(size * size, jnp.float32))
+    sil, _ = jax.lax.scan(body, jnp.zeros(size * size, jnp.float32),
+                          (coeffs_c, valid_c))
     return sil.reshape(size, size)
 
 
