@@ -481,9 +481,25 @@ def run_train_sifnet(args):
                        triplane_tmpx_dim=32, hidden_dim=16, remat=True)
     model = SIFNet(cfg, cam)
     tcfg = TrainConfig(learning_rate=args.lr)
-    to_dev = lambda b: {k: jnp.asarray(v) for k, v in b.items()}
+    # data-parallel over all local devices: shard the batch, replicate
+    # params; jit inserts the gradient psum (replaces DDP/NCCL)
+    from ..parallel.mesh import init_multihost, make_mesh, shard_leading, \
+        replicate
+    host_id, n_hosts = init_multihost()
+    loader.host_id, loader.num_hosts = host_id, n_hosts
+    mesh = make_mesh(axis="data")
+    n_dev = len(jax.devices())
+
+    def to_dev(b):
+        b = {k: jnp.asarray(v) for k, v in b.items()}
+        if n_dev > 1 and len(next(iter(b.values()))) % n_dev == 0:
+            b = shard_leading(mesh, b, "data")
+        return b
+
     state = init_train_state(model, jax.random.PRNGKey(0),
                              to_dev(next(iter(loader))), tcfg)
+    if n_dev > 1:
+        state = replicate(mesh, state)
     step = make_train_step(model, tcfg)
     lcfg = LoopConfig(num_epochs=args.epochs, out_dir=args.out,
                       ck_period_min=1e9)

@@ -62,16 +62,19 @@ def make_infiller(model: ConditionalMInfiller,
     @jax.jit
     def infill(params, smpl_stream, obj_stream, occ_mask):
         T = smpl_stream.shape[0]
-        n_steps = max(0, (T - clip + win - 1) // win + 1) if T > clip else 0
+        # autoregressive clips start at 0, win, 2*win, ... (the reference's
+        # loop also re-predicts the first clip conditioned on the seeded
+        # 30-frame context, test_infill_autoreg.py:117-120)
+        n_steps = (T - clip) // win + 1
 
-        # first clip
+        # seed pass over the first clip
         pred0 = forward(params, smpl_stream[:clip], obj_stream[:clip],
                         occ_mask[:clip])
         out0 = jnp.zeros((T, 6)).at[:clip].set(pred0)
 
         def step(carry, idx):
             out = carry
-            start = (idx + 1) * win  # clips slide by `win` starting at win
+            start = idx * win
             sc = jax.lax.dynamic_slice_in_dim(smpl_stream, start, clip, 0)
             oc = jax.lax.dynamic_slice_in_dim(obj_stream, start, clip, 0)
             mc = jax.lax.dynamic_slice_in_dim(occ_mask, start, clip, 0)
@@ -83,10 +86,7 @@ def make_infiller(model: ConditionalMInfiller,
                 out, pred[win:], start + win, 0)
             return out, None
 
-        if n_steps > 0:
-            out, _ = jax.lax.scan(step, out0, jnp.arange(n_steps))
-        else:
-            out = out0
+        out, _ = jax.lax.scan(step, out0, jnp.arange(n_steps))
         return out
 
     def run(params, poses, trans, obj_rot_real, occ_ratios,

@@ -86,6 +86,10 @@ class JointFitConfig:
     obj_scale: float = 1.0
     sil_size: int = 256
     sil_sigma: float = 1.0 / 128.0
+    # faces per rasterizer scan step: the (B, chunk, 3, size^2) edge tensor
+    # must fit HBM through the (rematted) backward; 32 keeps it < 1 GB at
+    # B=32, 256^2
+    sil_face_chunk: int = 32
     collision: bool = False  # reference gates this by hostname
     # early stopping (reference semantics); off by default so fixed-budget
     # runs and tests stay deterministic in length
@@ -402,7 +406,7 @@ def make_object_optimizer(query_fn, project_px,
         def one(p, roi):
             ndc = 2.0 * (p - roi[None, :2]) / roi[2] - 1.0
             return soft_silhouette(ndc, sil_faces, cfg.sil_size,
-                                   cfg.sil_sigma)
+                                   cfg.sil_sigma, chunk=cfg.sil_face_chunk)
 
         imgs = jax.vmap(one)(px, sil.roi_xyb)
         imgs = imgs * sil.keep_mask

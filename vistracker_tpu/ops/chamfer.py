@@ -121,6 +121,10 @@ def label_compatible_nn(x: jax.Array, labels_x: jax.Array, y: jax.Array,
     xt = xp.reshape(-1, chunk, 3)
     lt = lp.reshape(-1, chunk)
 
+    # checkpointed: without remat the backward keeps every tile's (chunk, M)
+    # distance matrix alive at once (GBs per optimizer step at batch size);
+    # recomputing a tile is one matmul
+    @jax.checkpoint
     def tile(args):
         xc, lc = args
         d = _pairwise_sqdist(xc, y)                       # (chunk, M)

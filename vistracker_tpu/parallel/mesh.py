@@ -20,6 +20,20 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_multihost():
+    """Initialize multi-host JAX if a coordinator is configured.
+
+    The reference discovers ranks from env:// or SLURM variables
+    (utils/dist_utils.py:12-33); jax.distributed.initialize() reads the
+    same class of environment (COORDINATOR_ADDRESS / SLURM / TPU metadata)
+    and wires the DCN mesh axis. No-op on a single host.
+    """
+    import os
+    if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get("SLURM_NTASKS"):
+        jax.distributed.initialize()
+    return jax.process_index(), jax.process_count()
+
+
 def make_mesh(n_devices: int | None = None, axis: str = "frames") -> Mesh:
     """1-D mesh over the first n_devices (default: all)."""
     devs = jax.devices()[:n_devices] if n_devices else jax.devices()
