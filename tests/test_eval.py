@@ -170,3 +170,16 @@ def test_pack_unpack_roundtrip(tmp_path, rng):
     back2 = pack_from_frames(seq, frames + ["t9999.000"], "fit01")
     assert not back2["recon_exist"][-1]
     np.testing.assert_allclose(back2["obj_angles"][-1], np.eye(3))
+
+
+def test_pca_axes_reference_era_sign_convention(rng):
+    """compute_pca_axes must match the U-based svd_flip the reference-era
+    sklearn PCA used (the signs the released checkpoints were trained on)."""
+    from sklearn.utils.extmath import svd_flip
+    from vistracker_tpu.data.sampling import compute_pca_axes
+    for i in range(5):
+        v = rng.randn(80, 3) * np.array([2.0, 1.0, 0.4])
+        x = v - v.mean(0)
+        u, s, vt = np.linalg.svd(x, full_matrices=False)
+        _, ref = svd_flip(u, vt, u_based_decision=True)
+        np.testing.assert_allclose(compute_pca_axes(v), ref, atol=1e-5)

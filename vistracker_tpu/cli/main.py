@@ -177,8 +177,8 @@ def run_synthetic_track(args) -> dict:
     # ---------------- stage 5: object-rot smoothing + infill ----------------
     _stage("stage 5/7: SmoothNet object rotation + HVOP-Net infill")
     t0 = time.time()
-    pca_init = np.linalg.svd(scene.temp_verts - scene.temp_verts.mean(0),
-                             full_matrices=False)[2]  # (3, 3) PCA axes
+    from ..data.sampling import compute_pca_axes
+    pca_init = compute_pca_axes(scene.temp_verts)  # sklearn-sign PCA axes
     rot_neural = np.asarray(init_object_orientation(
         jnp.asarray(np.asarray(pc["object"]["pca_axis"])),
         jnp.broadcast_to(jnp.asarray(pca_init), (T, 3, 3))))

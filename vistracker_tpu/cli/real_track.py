@@ -257,6 +257,9 @@ def run_real_track(args):
         om_net = np.stack([np.asarray(images[i, :, :, 4]) for i in range(B)])
         sil = prepare_sil_refs(pm_net, om_net, crop_centers, args.crop_size,
                                args.net_size, jcfg.sil_size)
+        # obj_s is fixed to 1: the release overwrites optimize_smpl's
+        # returned height scale with ones ("Oct06: use single scale",
+        # recon_fit_triplane.py:73-74)
         obj_t0 = np.asarray(pc["object"]["centers"]) + np.asarray(body_centers)
         obj_pts_b = jnp.broadcast_to(jnp.asarray(obj_points),
                                      (B,) + obj_points.shape)

@@ -88,6 +88,11 @@ class PrefetchLoader:
                 t.start()
                 threads.append(t)
                 while len([x for x in threads if x.is_alive()]) >= self.workers:
+                    # wait on the oldest live worker instead of spinning
+                    for x in threads:
+                        if x.is_alive():
+                            x.join(timeout=0.05)
+                            break
                     threads = [x for x in threads if x.is_alive()]
             for t in threads:
                 t.join()

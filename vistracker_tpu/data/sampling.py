@@ -120,10 +120,22 @@ class MeshDistance:
 
 def compute_pca_axes(verts: np.ndarray) -> np.ndarray:
     """PCA components of mesh vertices — sklearn-PCA parity (components
-    sorted by descending variance, rows = axes)."""
+    sorted by descending variance, rows = axes, INCLUDING sklearn's
+    svd_flip sign convention: each U column's largest-|.|-entry positive).
+
+    The sign matters: the reference computes template/GT PCA axes with
+    sklearn everywhere (boundary_sampler.compute_pca,
+    recon_fit_base.compute_pca_init), and the released SIF-Net was trained
+    against those signs — a flipped axis puts the rotation init in the
+    wrong basin. We replicate the U-BASED svd_flip of the reference-era
+    sklearn (<=1.4; sklearn 1.5+ switched PCA to V-based signs, which would
+    NOT match the released checkpoints)."""
     x = verts - verts.mean(0)
-    _, s, vt = np.linalg.svd(x, full_matrices=False)
-    return vt.astype(np.float32)
+    u, s, vt = np.linalg.svd(x, full_matrices=False)
+    max_abs = np.argmax(np.abs(u), axis=0)
+    signs = np.sign(u[max_abs, range(u.shape[1])])
+    signs[signs == 0] = 1.0
+    return (vt * signs[:, None]).astype(np.float32)
 
 
 def flip_part_labels(parts: np.ndarray) -> np.ndarray:

@@ -176,14 +176,15 @@ def _adam_scan(loss_fn: Callable, params, lrs: dict, n_steps: int,
 
 def _adam_while(loss_fn: Callable, params, lrs: dict, max_iters: int,
                 steps_per_iter: int, decay_fn: Callable,
-                rel_tol: float, min_iter_frac: float):
+                rel_tol: float, min_iters: float):
     """Early-stopping phase runner: a lax.while_loop over ITERATIONS (each
     = steps_per_iter Adam steps), stopping once the relative loss change
     between iteration boundaries satisfies the reference criterion
-    |prev - loss| / prev < prev * rel_tol after min_iter_frac * max_iters
-    iterations (recon_fit_behave.py:165-169, recon_fit_trivis_full.py:
-    372-375 — there checked per step; iteration granularity here keeps the
-    loop body a fixed-shape scan).
+    |prev - loss| / prev < prev * rel_tol after min_iters LOCAL iterations.
+    Callers convert the reference's GLOBAL-iteration gates (e.g. the joint
+    phase's `it > 0.25*max_iter` with it already past iter_obj+iter_sil,
+    recon_fit_trivis_full.py:372-375) into the local offset — the joint
+    phase may legitimately stop on its first iteration.
 
     Returns (params, final_loss, iters_used). No per-step loss trace (a
     while_loop cannot stack outputs).
@@ -215,8 +216,7 @@ def _adam_while(loss_fn: Callable, params, lrs: dict, max_iters: int,
         p, s, prev, it, _ = carry
         p, s, loss = one_iter(p, s, it)
         rel = jnp.abs(prev - loss) / jnp.maximum(jnp.abs(prev), 1e-12)
-        done = (rel < jnp.abs(prev) * rel_tol) & \
-            (it > min_iter_frac * max_iters)
+        done = (rel < jnp.abs(prev) * rel_tol) & (it > min_iters)
         return (p, s, loss, it + 1, done)
 
     p, _, loss, iters, _ = jax.lax.while_loop(
@@ -294,43 +294,55 @@ def make_smpl_optimizer(query_fn, project_fn, model: SMPLModel,
         aux = dict(pose_init=smpl.body_pose, body_kpts=body_kpts)
         spi = cfg.steps_per_iter
 
-        def mkloss(phase_kpts):
-            def f(pdict, decay):
-                p = SMPLTParams(**pdict)
-                terms, _ = loss_terms(p, aux, ctx, phase_kpts)
-                return weighted(terms, decay)
-            return f
+        def loss1(pdict, decay):
+            terms, _ = loss_terms(SMPLTParams(**pdict), aux, ctx, False)
+            return weighted(terms, decay)
+
+        def loss23(pdict, decay_and_kw):
+            # phases 2+3 run in ONE optimizer: the j2d term switches on via
+            # a traced weight instead of a phase boundary
+            decay, kw = decay_and_kw
+            terms, _ = loss_terms(SMPLTParams(**pdict), aux, ctx, True)
+            terms = dict(terms)
+            terms["j2d"] = terms["j2d"] * kw
+            return weighted(terms, decay)
 
         pdict = dataclasses.asdict(smpl)
         zero = {k: 0.0 for k in pdict}
         # phase 1: betas (top) + trans, lr .02
         pdict, l1 = _adam_scan(
-            mkloss(False), pdict,
+            loss1, pdict,
             {**zero, "top_betas": cfg.lr_betas, "trans": cfg.lr_betas},
             cfg.iter_betas * spi, lambda s: jnp.float32(1.0))
-        # phase 2: all pose (not hands), lr .006
-        pdict, l2 = _adam_scan(
-            mkloss(False), pdict,
-            {**zero, "trans": cfg.lr_pose, "global_pose": cfg.lr_pose,
-             "body_pose": cfg.lr_pose, "top_betas": cfg.lr_pose,
-             "other_betas": cfg.lr_pose},
-            cfg.iter_pose * spi, lambda s: jnp.float32(1.0))
-        # phase 3: + keypoints, decay it/3 (it counts from 0 globally)
-        off = (cfg.iter_betas + cfg.iter_pose) * spi
-        lrs3 = {**zero, "trans": cfg.lr_pose, "global_pose": cfg.lr_pose,
-                "body_pose": cfg.lr_pose, "top_betas": cfg.lr_pose,
-                "other_betas": cfg.lr_pose}
-        decay3 = lambda s: ((s + off) // spi).astype(jnp.float32) / 3.0
-        n3 = cfg.iter_kpts + cfg.smpl_max_iter
+
+        # phases 2 (all pose) + 3 (+ keypoints) share ONE Adam instance —
+        # the reference only re-creates the optimizer at the beta->pose
+        # boundary (recon_fit_behave.py:409-430), so the kpts phase starts
+        # with warm moments, not a fresh bias-correction ramp.
+        lrs23 = {**zero, "trans": cfg.lr_pose, "global_pose": cfg.lr_pose,
+                 "body_pose": cfg.lr_pose, "top_betas": cfg.lr_pose,
+                 "other_betas": cfg.lr_pose}
+        kpts_from = cfg.iter_betas + cfg.iter_pose  # global iter of phase 3
+
+        def decay23(s):
+            it = cfg.iter_betas + s // spi  # global iteration counter
+            kpts_on = (it >= kpts_from).astype(jnp.float32)
+            decay = jnp.where(kpts_on > 0, it.astype(jnp.float32) / 3.0, 1.0)
+            return (decay, kpts_on)
+
+        n23 = cfg.iter_pose + cfg.iter_kpts + cfg.smpl_max_iter
         if cfg.early_stop:
-            pdict, last, _ = _adam_while(mkloss(True), pdict, lrs3, n3, spi,
-                                         decay3, cfg.smpl_rel_tol,
-                                         cfg.early_stop_min_frac)
-            l3 = last[None]
+            # reference gate: it > 0.25*max_iter + iter_betas + iter_pose
+            # (global) -> local offset within this merged phase
+            min_iters = cfg.early_stop_min_frac * cfg.smpl_max_iter \
+                + cfg.iter_pose
+            pdict, last, _ = _adam_while(loss23, pdict, lrs23, n23, spi,
+                                         decay23, cfg.smpl_rel_tol,
+                                         min_iters)
+            l23 = last[None]
         else:
-            pdict, l3 = _adam_scan(mkloss(True), pdict, lrs3, n3 * spi,
-                                   decay3)
-        return SMPLTParams(**pdict), jnp.concatenate([l1, l2, l3])
+            pdict, l23 = _adam_scan(loss23, pdict, lrs23, n23 * spi, decay23)
+        return SMPLTParams(**pdict), jnp.concatenate([l1, l23])
 
     return optimize_smpl
 
@@ -372,7 +384,10 @@ def make_object_optimizer(query_fn, project_px,
         i to object contact points of part i + the reverse; averaged over
         (example, part) pairs where both sides are non-empty
         (recon_fit_trivis_full.py:382-457 with pytorch3d chamfer =
-        SQUARED distances).
+        SQUARED distances). Frames where either side has no contacts get
+        zero contact loss — the release code `continue`s there too (its
+        pull-all-verts fallback is commented out, "do not overshots now",
+        recon_fit_trivis_full.py:420-428).
         """
         B = obj.shape[0]
 
@@ -506,10 +521,14 @@ def make_object_optimizer(query_fn, project_px,
                               - cfg.iter_obj + 1).astype(jnp.float32)) / 3.0
         lrs_j = {"obj_r": 0.0, "obj_t": cfg.lr_joint}
         if cfg.early_stop:
+            # reference gate is GLOBAL (it > 0.25*max_iter with it already
+            # past iter_obj + iter_sil) — always satisfied at joint start,
+            # so the joint phase may stop on its first converged iteration
+            min_iters = max(0.0, cfg.early_stop_min_frac * cfg.joint_max_iter
+                            - (cfg.iter_obj + cfg.iter_sil))
             params, last, _ = _adam_while(loss_joint, params, lrs_j,
                                           cfg.joint_max_iter, spi, decay_j,
-                                          cfg.joint_rel_tol,
-                                          cfg.early_stop_min_frac)
+                                          cfg.joint_rel_tol, min_iters)
             l3 = last[None]
         else:
             params, l3 = run_phase(loss_joint, params, lrs_j,

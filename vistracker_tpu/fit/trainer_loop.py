@@ -187,10 +187,14 @@ def make_infiller_train_step(model, learning_rate: float = 1e-4,
         learning_rate, {m * steps_per_epoch: gamma for m in milestones})
     opt = optax.adam(sched)
 
-    def loss_fn(params, batch):
+    def loss_fn(params, batch, rng=None):
+        # train with dropout ACTIVE (the reference trains in train() mode,
+        # cmf-k4-lrot specifies 0.05 dropout in every encoder layer)
+        det = rng is None
         pred = model.apply(params, batch["data_smpl"], batch["mask_smpl"],
                            batch["data_obj"], batch["mask_obj"],
-                           deterministic=True)
+                           deterministic=det,
+                           rngs=None if det else {"dropout": rng})
         gt = batch["gt_obj"]
         l_pose = jnp.abs(pred - gt).mean()
         acc_p = pred[:, 2:] - 2 * pred[:, 1:-1] + pred[:, :-2]
@@ -201,19 +205,21 @@ def make_infiller_train_step(model, learning_rate: float = 1e-4,
 
     @jax.jit
     def step(state, batch):
+        rng = jax.random.fold_in(state["rng"], state["step"])
         (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state["params"], batch)
+            state["params"], batch, rng)
         updates, opt_state = opt.update(grads, state["opt_state"])
         params = optax.apply_updates(state["params"], updates)
         return {"params": params, "opt_state": opt_state,
-                "step": state["step"] + 1}, loss, terms
+                "step": state["step"] + 1, "rng": state["rng"]}, loss, terms
 
-    def init_state(params):
+    def init_state(params, rng=None):
         return {"params": params, "opt_state": opt.init(params),
-                "step": jnp.zeros((), jnp.int32)}
+                "step": jnp.zeros((), jnp.int32),
+                "rng": rng if rng is not None else jax.random.PRNGKey(0)}
 
     @jax.jit
     def val_loss(state, batch):
-        return loss_fn(state["params"], batch)[0]
+        return loss_fn(state["params"], batch)[0]  # eval: dropout off
 
     return init_state, step, val_loss

@@ -30,8 +30,7 @@ def sine_position_embedding(length: int, dim: int, temperature: float = 10000.0,
     """(length, dim) positional embedding with the reference's exact formula."""
     npf = dim // 2
     pos = np.arange(length, dtype=np.float32)
-    denom = pos[-1] + 1e-6 if length > 1 else pos[-1] + 1e-6
-    pos = pos / denom * scale
+    pos = pos / (pos[-1] + 1e-6) * scale
     dim_t = temperature ** (2.0 * np.arange(npf, dtype=np.float32) / npf)
     ang = pos[:, None] / dim_t[None, :]  # (L, npf)
     pe = np.zeros((length, dim), np.float32)

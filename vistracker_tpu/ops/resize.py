@@ -57,10 +57,9 @@ def _interp_matrix(in_size: int, out_size: int, mode: str,
             idx = np.clip(i0 + k, 0, in_size - 1)
             np.add.at(m, (np.arange(out_size), idx), w)
     elif mode == "nearest":
-        idx = np.clip(np.floor(coords + (0.0 if align_corners else 0.0)).astype(np.int64),
-                      0, in_size - 1)
         # torch 'nearest' truncates the source index: floor(i * in/out)
-        idx = np.clip((np.arange(out_size) * in_size // out_size), 0, in_size - 1)
+        idx = np.clip(np.arange(out_size) * in_size // out_size, 0,
+                      in_size - 1)
         m[np.arange(out_size), idx] = 1.0
     else:
         raise ValueError(f"unknown mode {mode}")
