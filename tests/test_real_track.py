@@ -149,3 +149,48 @@ def test_real_track_pipeline(tmp_path, rng):
     det = np.linalg.det(rec.obj_angles)
     np.testing.assert_allclose(det, 1.0, atol=1e-3)
     assert rec.frames == [f"t{i:04d}.000" for i in range(4)]
+
+
+def test_real_track_neural_only(tmp_path, rng):
+    """--neural-only stops after stage 4 and packs neural outputs."""
+    from vistracker_tpu.cli.main import build_parser
+    from vistracker_tpu.cli.real_track import run_real_track
+    from vistracker_tpu.data.packed import load_packed
+    from vistracker_tpu.cli.synthetic import box_mesh
+
+    seq = str(tmp_path / "Date09_Sub98_boxsmall")
+    _make_fake_sequence(seq, rng, T=3)
+    assets = str(tmp_path / "assets")
+    _make_fake_assets(assets, rng)
+    smpl_pkl = str(tmp_path / "SMPLH_male.pkl")
+    _make_fake_smplh_pkl(smpl_pkl, rng)
+    obj_root = str(tmp_path / "objects")
+    os.makedirs(os.path.join(obj_root, "boxsmall"), exist_ok=True)
+    bv, bf = box_mesh()
+    save_ply(os.path.join(obj_root, "boxsmall", "boxsmall.ply"),
+             bv + np.array([0.1, 0.0, 2.3], np.float32), bf)
+
+    args = build_parser().parse_args([
+        "track", "--seq", seq, "--out", str(tmp_path / "out"),
+        "--smpl-model", smpl_pkl, "--assets", assets,
+        "--objects-root", obj_root, "--sifnet-ckpt", "random",
+        "--infiller-ckpt", "random", "--tiny-nets", "--neural-only",
+        "--chunk-size", "3", "--net-size", "32", "--crop-size", "96",
+        "--save-name", "neural"])
+    import functools
+    import vistracker_tpu.fit.smplt as smplt_mod
+    import vistracker_tpu.fit.generator as gen_mod
+    orig = (smplt_mod.SMPLTFitConfig, gen_mod.GeneratorConfig)
+    try:
+        smplt_mod.SMPLTFitConfig = lambda *a, **k: orig[0](
+            global_iters=1, max_iters=2)
+        gen_mod.GeneratorConfig = functools.partial(
+            orig[1], num_steps=2, num_rounds=1, samples_per_round=128,
+            num_points=32)
+        outfile = run_real_track(args)
+    finally:
+        smplt_mod.SMPLTFitConfig, gen_mod.GeneratorConfig = orig
+    d = load_packed(outfile)
+    assert np.asarray(d["neural_pca"]).shape == (3, 3, 3)
+    assert np.asarray(d["neural_visibility"]).shape == (3,)
+    assert np.isfinite(np.asarray(d["neural_trans"])).all()

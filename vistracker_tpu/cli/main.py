@@ -360,6 +360,10 @@ def build_parser():
                     help="tiny network configs (pipeline smoke tests)")
     tr.add_argument("--redo", action="store_true",
                     help="re-run even if the packed output exists")
+    tr.add_argument("--neural-only", action="store_true",
+                    help="stop after SIF-Net neural reconstruction (stage 4) "
+                         "and pack neural_pca/trans/visibility, like the "
+                         "reference's -neural_only")
 
     ts = sub.add_parser("train-sifnet",
                         help="train SIF-Net (DP over the device mesh)")

@@ -229,6 +229,23 @@ def run_real_track(args):
                       jax.random.PRNGKey(c0))
         occ = np.asarray(pc["object"]["visibility"])[:, 0]
 
+        if getattr(args, "neural_only", False):
+            # demo.sh stage 4: save only neural reconstruction results
+            all_out.setdefault("neural_pca", []).append(
+                np.asarray(pc["object"]["pca_axis"]))
+            all_out.setdefault("neural_trans", []).append(
+                np.asarray(pc["object"]["centers"]))
+            all_out.setdefault("neural_visibility", []).append(occ)
+            all_out["recon_exist"].append(np.ones(B, bool))
+            all_out["poses"].append(np.asarray(p2.pose))
+            all_out["betas"].append(np.asarray(p2.betas))
+            all_out["trans"].append(np.asarray(p2.trans))
+            all_out["obj_angles"].append(
+                np.broadcast_to(np.eye(3), (B, 3, 3)).copy())
+            all_out["obj_trans"].append(np.zeros((B, 3)))
+            all_out["obj_scales"].append(np.ones(B))
+            continue
+
         # ---- stage 5: object-rot smoothing + infill ----
         rot_init = np.asarray(init_object_orientation(
             jnp.asarray(np.asarray(pc["object"]["pca_axis"])),

@@ -10,7 +10,8 @@ Parity targets:
     [Adam R,t lr .006] -> joint <=100 it [Adam t lr .002]; loss-weight
     table :124-153; occ-ratio weighting; temporal otemp/ovtemp with x10 in
     joint; contact dfs computed ONCE at joint start; 10 steps/iter;
-    zero-grad each step; fresh Adam moments at each phase switch)
+    zero-grad each step; fresh Adam moments at each OBJECT phase switch,
+    but the smpl pose->kpts phases share one Adam instance)
   * recon/obj_pose_roi.py:SilLossROI (occlusion-aware ROI silhouette L2)
   * recon/recon_fit_base.py:compute_contact_loss (part-paired chamfer),
     transform_obj_verts ((v @ R + t) * s), decopose_axis (SO(3) projection
