@@ -377,6 +377,19 @@ def build_parser():
     ts.add_argument("--samples", type=int, default=512)
     ts.add_argument("--lr", type=float, default=1e-3)
 
+    tsm = sub.add_parser("train-smoothnet",
+                         help="train SmoothNet (smpl or objrot variant)")
+    tsm.add_argument("--synthetic", action="store_true")
+    tsm.add_argument("--cpu", action="store_true")
+    tsm.add_argument("--variant", choices=["smpl", "objrot"], default="smpl")
+    tsm.add_argument("--out", default="experiments/smoothnet")
+    tsm.add_argument("--epochs", type=int, default=2)
+    tsm.add_argument("--batch-size", type=int, default=32)
+    tsm.add_argument("--window", type=int, default=64)
+    tsm.add_argument("--frames", type=int, default=300)
+    tsm.add_argument("--lr", type=float, default=1e-4)
+    tsm.add_argument("--noise", type=float, default=0.05)
+
     ti = sub.add_parser("train-infiller", help="train HVOP-Net")
     ti.add_argument("--synthetic", action="store_true")
     ti.add_argument("--cpu", action="store_true")
@@ -516,6 +529,67 @@ def run_train_sifnet(args):
                        val_loss_fn=val_fn, cfg=lcfg, to_device=to_dev)
     print(json.dumps({"out": args.out,
                       "steps": int(np.asarray(state.step))}))
+
+
+def run_train_smoothnet(args):
+    """Train SmoothNet on windows of a noisy trajectory. --synthetic builds
+    smooth GT trajectories (rot6d pose [+ betas/trans for the smpl variant])
+    and adds Gaussian noise — the denoising task SmoothNet learns."""
+    import jax
+    import jax.numpy as jnp
+    from scipy.spatial.transform import Rotation
+    from ..core.rotations import axis_angle_to_rot6d
+    from ..data.datasets import PrefetchLoader
+    from ..fit.trainer_loop import (LoopConfig, train_loop,
+                                    make_smoothnet_train_step)
+    from ..models.smoothnet import SmoothNet, SmoothNetSMPL
+    from ..ops.window_ops import seq_to_windows
+
+    if not args.synthetic:
+        raise SystemExit("real-data training needs packed GT; use --synthetic")
+    rng = np.random.RandomState(0)
+    T, W = args.frames, args.window
+    t = np.linspace(0, 6 * np.pi, T)
+    if args.variant == "smpl":
+        pose = (0.3 * np.sin(t)[:, None] * rng.randn(72)[None]).astype(np.float32)
+        rot6d = np.asarray(axis_angle_to_rot6d(
+            jnp.asarray(pose.reshape(-1, 3)))).reshape(T, 144)
+        feats = np.concatenate(
+            [rot6d, np.zeros((T, 10), np.float32),
+             np.stack([0.3 * np.sin(t), 0.1 * np.cos(t), 2.2 + 0 * t],
+                      -1).astype(np.float32)], 1)
+        model = SmoothNetSMPL(window_size=W, output_size=W)
+    else:
+        rots = Rotation.from_euler("y", (0.5 * t)[:, None]).as_matrix()
+        feats = rots[:, :, :2].reshape(T, 6).astype(np.float32)
+        model = SmoothNet(window_size=W, output_size=W)
+
+    gt_w = np.asarray(seq_to_windows(jnp.asarray(feats), W, 1))  # (N, W, D)
+    gt_w = gt_w.transpose(0, 2, 1)                               # (N, D, W)
+    noisy_w = gt_w + rng.randn(*gt_w.shape).astype(np.float32) * args.noise
+
+    def example(i):
+        return dict(noisy=noisy_w[i], gt=gt_w[i])
+
+    loader = PrefetchLoader(example, len(gt_w), args.batch_size,
+                            num_workers=2)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1,) + gt_w.shape[1:]))
+    init_state, step_fn, val_fn = make_smoothnet_train_step(model, args.lr)
+    state = init_state(params)
+    lcfg = LoopConfig(num_epochs=args.epochs, out_dir=args.out,
+                      ck_period_min=1e9)
+    to_dev = lambda b: {k: jnp.asarray(v) for k, v in b.items()}
+    state = train_loop(state, step_fn, loader, val_loader=loader,
+                       val_loss_fn=val_fn, cfg=lcfg, to_device=to_dev)
+    # report denoising gain on the training windows
+    pred = model.apply(state["params"], jnp.asarray(noisy_w[:64]))
+    err_in = float(np.abs(noisy_w[:64] - gt_w[:64]).mean())
+    err_out = float(np.abs(np.asarray(pred) - gt_w[:64]).mean())
+    print(json.dumps({"out": args.out,
+                      "steps": int(np.asarray(state["step"])),
+                      "noisy_l1": round(err_in, 5),
+                      "denoised_l1": round(err_out, 5)}))
 
 
 def run_train_infiller(args):
@@ -710,6 +784,8 @@ def main(argv=None):
             run_real_track(args)
     elif args.cmd == "train-sifnet":
         run_train_sifnet(args)
+    elif args.cmd == "train-smoothnet":
+        run_train_smoothnet(args)
     elif args.cmd == "train-infiller":
         run_train_infiller(args)
     elif args.cmd == "render":

@@ -175,6 +175,57 @@ def train_loop(state, step_fn: Callable, train_loader: Iterable,
 
 
 # ---------------------------------------------------------------------------
+# SmoothNet training (smoothnet/train recipe: Adam lr 1e-4, exp decay 0.95
+# per epoch, L_pos + 0.1 * L_accel on sliding windows — SmoothNet paper
+# defaults mirrored in pw3d_spin_3D.yaml)
+# ---------------------------------------------------------------------------
+
+def make_smoothnet_train_step(model, learning_rate: float = 1e-4,
+                              lr_decay: float = 0.95,
+                              steps_per_epoch: int = 1000,
+                              lw_pos: float = 1.0, lw_accel: float = 0.1):
+    """Training step for SmoothNet / SmoothNetSMPL.
+
+    batch: noisy (N, C, W) windows + gt (N, C, W) clean windows.
+    """
+    sched = lambda step: learning_rate * lr_decay ** (step // steps_per_epoch)
+    opt = optax.adam(sched)
+
+    def loss_fn(params, batch, rng=None):
+        det = rng is None
+        pred = model.apply(params, batch["noisy"], deterministic=det,
+                           rngs=None if det else {"dropout": rng})
+        gt = batch["gt"]
+        l_pos = jnp.abs(pred - gt).mean()
+        acc_p = pred[..., 2:] - 2 * pred[..., 1:-1] + pred[..., :-2]
+        acc_g = gt[..., 2:] - 2 * gt[..., 1:-1] + gt[..., :-2]
+        l_accel = jnp.abs(acc_p - acc_g).mean()
+        total = lw_pos * l_pos + lw_accel * l_accel
+        return total, dict(pos=l_pos, accel=l_accel)
+
+    @jax.jit
+    def step(state, batch):
+        rng = jax.random.fold_in(state["rng"], state["step"])
+        (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"], batch, rng)
+        updates, opt_state = opt.update(grads, state["opt_state"])
+        params = optax.apply_updates(state["params"], updates)
+        return {"params": params, "opt_state": opt_state,
+                "step": state["step"] + 1, "rng": state["rng"]}, loss, terms
+
+    def init_state(params, rng=None):
+        return {"params": params, "opt_state": opt.init(params),
+                "step": jnp.zeros((), jnp.int32),
+                "rng": rng if rng is not None else jax.random.PRNGKey(0)}
+
+    @jax.jit
+    def val_loss(state, batch):
+        return loss_fn(state["params"], batch)[0]
+
+    return init_state, step, val_loss
+
+
+# ---------------------------------------------------------------------------
 # Infiller training (trainer_infiller.py)
 # ---------------------------------------------------------------------------
 
