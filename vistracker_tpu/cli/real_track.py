@@ -34,7 +34,7 @@ def run_real_track(args):
     from ..core.smpl_generator import smplh_params
     from ..data.behave import FrameDataReader, load_template
     from ..data.images import prepare_input_crop
-    from ..data.packed import save_packed, recon_obj_verts
+    from ..data.packed import save_packed
     from ..data.silprep import prepare_sil_refs
     from ..data.sampling import compute_pca_axes
     from ..fit.smplt import (SMPLTFitConfig, SMPLTParams, fit_smplt,
@@ -104,7 +104,11 @@ def run_real_track(args):
     elif os.path.isdir(args.sifnet_ckpt):
         # orbax checkpoint from our own trainer (fit/trainer_loop.py)
         from ..fit.trainer_loop import CheckpointIO
-        state, _ = CheckpointIO(args.sifnet_ckpt).restore_latest(None)
+        state, at_step = CheckpointIO(args.sifnet_ckpt).restore_latest(None)
+        if state is None:
+            raise SystemExit(
+                f"no orbax checkpoint found under {args.sifnet_ckpt} "
+                "(pass the experiment dir that contains checkpoints/)")
         sif_params = state["params"] if "params" in state else state
     else:
         sif_params = TI.sifnet_params(args.sifnet_ckpt, sif_cfg)
@@ -158,18 +162,23 @@ def run_real_track(args):
         print(f"[vistracker] chunk {chunk[0]}..{chunk[-1]} ({B} frames)")
 
         # ---- load observations ----
-        kpts, mocap_poses, mocap_betas, bbox_centers = [], [], [], []
+        kpts, mocap_poses, bbox_centers = [], [], []
         rgbs, pms, oms = [], [], []
         for idx in chunk:
             kpts.append(reader.get_body_kpts(idx, kid))
-            p, b = reader.get_mocap_params(idx, kid)
+            p, _ = reader.get_mocap_params(idx, kid)
             mocap_poses.append(p)
-            mocap_betas.append(b)
             pm = reader.get_mask(idx, kid, "person")
             om = reader.get_mask(idx, kid, "obj")
             ys, xs = np.nonzero(pm)
-            bbox_centers.append([(xs.max() + xs.min()) / 2,
-                                 (ys.max() + ys.min()) / 2])
+            if len(xs) < 10:  # detector miss: fall back to the image center
+                h, w = pm.shape
+                print(f"[vistracker] warning: empty person mask at frame "
+                      f"{reader.frames[idx]}, using image center")
+                bbox_centers.append([w / 2, h / 2])
+            else:
+                bbox_centers.append([(xs.max() + xs.min()) / 2,
+                                     (ys.max() + ys.min()) / 2])
             rgbs.append(reader.get_color(idx, kid))
             pms.append(pm)
             oms.append(om)
@@ -188,9 +197,11 @@ def run_real_track(args):
 
         # ---- stage 2: smooth + refit ----
         if sn_smpl_params is not None:
+            # always the checkpoint's window: pad_to_window handles
+            # chunks shorter than 64 frames
             sm = smooth_smplt(sn_smpl_params, np.asarray(p1.pose),
                               np.asarray(p1.betas), np.asarray(p1.trans),
-                              window=min(W, B))
+                              window=W)
             init2 = smplh_params(sm["poses"], sm["betas"], sm["trans"],
                                  mean_hands=mean_hands)
             refit_cfg = SMPLTFitConfig(max_iters=30)
@@ -252,8 +263,7 @@ def run_real_track(args):
             jnp.broadcast_to(jnp.asarray(pca_init), (B, 3, 3))))
         rot_real = rot_init.transpose(0, 2, 1)
         if sn_rot_params is not None:
-            rot_packed = smooth_objrot(sn_rot_params, rot_real,
-                                       window=min(W, B))
+            rot_packed = smooth_objrot(sn_rot_params, rot_real, window=W)
             rot_real = rot_packed.transpose(0, 2, 1)
         filled = run_infill(inf_params, np.asarray(p2.pose),
                             np.asarray(p2.trans), rot_real, occ)
@@ -270,8 +280,9 @@ def run_real_track(args):
         verts_f, _, _, _ = lbs_forward(smpl_model, smpl_final.pose,
                                        smpl_final.betas, smpl_final.trans)
 
-        pm_net = np.stack([np.asarray(images[i, :, :, 3]) for i in range(B)])
-        om_net = np.stack([np.asarray(images[i, :, :, 4]) for i in range(B)])
+        images_np = np.asarray(images)  # single transfer
+        pm_net = images_np[..., 3]
+        om_net = images_np[..., 4]
         sil = prepare_sil_refs(pm_net, om_net, crop_centers, args.crop_size,
                                args.net_size, jcfg.sil_size)
         # obj_s is fixed to 1: the release overwrites optimize_smpl's

@@ -84,7 +84,11 @@ class PrefetchLoader:
             threads = []
             for b in range(nb):
                 bi = idx[b * self.bs:(b + 1) * self.bs]
-                t = threading.Thread(target=produce, args=(bi, out_q))
+                # daemon: a consumer may stop iterating early (e.g. a
+                # bounded val pass); blocked producers must not prevent
+                # process exit
+                t = threading.Thread(target=produce, args=(bi, out_q),
+                                     daemon=True)
                 t.start()
                 threads.append(t)
                 while len([x for x in threads if x.is_alive()]) >= self.workers:

@@ -73,7 +73,9 @@ class JointFitConfig:
     # object phases
     iter_obj: int = 15
     iter_sil: int = 30
-    joint_max_iter: int = 100
+    # reference joint phase length: max_iter(100) + joint_iter(10)
+    # (recon_fit_trivis_full.py:327 loop bound minus obj+sil)
+    joint_max_iter: int = 110
     lr_obj_r: float = 0.002
     lr_obj_t: float = 0.006
     lr_sil: float = 0.006
@@ -383,14 +385,15 @@ def make_object_optimizer(query_fn, project_px,
 
         Per example & part: mean sq NN dist of human contact points of part
         i to object contact points of part i + the reverse; averaged over
-        (example, part) pairs where both sides are non-empty
-        (recon_fit_trivis_full.py:382-457 with pytorch3d chamfer =
-        SQUARED distances). Frames where either side has no contacts get
-        zero contact loss — the release code `continue`s there too (its
+        (example, part) pairs where both sides are non-empty — a FLAT mean
+        over all pairs across the whole chunk, matching pytorch3d
+        chamfer_distance(batch_reduction="mean") over the Pointclouds batch
+        of every (example, part) cloud (recon_fit_trivis_full.py:382-457,
+        SQUARED distances). Frames where either side has no contacts
+        contribute no pairs — the release code `continue`s there too (its
         pull-all-verts fallback is commented out, "do not overshots now",
         recon_fit_trivis_full.py:420-428).
         """
-        B = obj.shape[0]
 
         def one(sv, ov, mh, mo, lh, lo):
             d_h = label_compatible_nn(sv, lh, ov, lo, mo)     # (V,)
@@ -403,15 +406,13 @@ def make_object_optimizer(query_fn, project_px,
             mean_h = (d_h @ oh_h) / jnp.maximum(cnt_h, 1.0)
             mean_o = (d_o @ oh_o) / jnp.maximum(cnt_o, 1.0)
             per_pair = jnp.where(pair_ok, mean_h + mean_o, 0.0)
-            n_pairs = jnp.maximum(pair_ok.sum(), 1)
-            return per_pair.sum() / n_pairs, pair_ok.any()
+            return per_pair.sum(), pair_ok.sum()
 
-        losses, has = jax.vmap(one)(smpl_verts, obj, mask_h, mask_o,
-                                    jnp.broadcast_to(labels_h,
-                                                     smpl_verts.shape[:2]),
-                                    labels_o)
-        hasf = has.astype(jnp.float32)
-        return (losses * hasf).sum() / jnp.maximum(hasf.sum(), 1.0)
+        sums, counts = jax.vmap(one)(smpl_verts, obj, mask_h, mask_o,
+                                     jnp.broadcast_to(labels_h,
+                                                      smpl_verts.shape[:2]),
+                                     labels_o)
+        return sums.sum() / jnp.maximum(counts.sum(), 1)
 
     def sil_loss(ctx, obj_r, obj_t, obj_s, sil: SilRefs, sil_verts,
                  sil_faces, occ):
@@ -438,7 +439,6 @@ def make_object_optimizer(query_fn, project_px,
                         labels_h, occ_ratios, sil: SilRefs, sil_verts,
                         sil_faces, ctx=None, sdf_grid: SDFGrid | None = None):
         spi = cfg.steps_per_iter
-        B = obj_t.shape[0]
         labels_h = jnp.asarray(labels_h)
 
         def transformed(p):
@@ -517,7 +517,6 @@ def make_object_optimizer(query_fn, project_px,
                 terms["collide"] = penetration_loss(sdf_grid, local)
             return _weighted(terms, decay)
 
-        off = cfg.iter_obj * spi  # decay references it - iter_obj + 1
         decay_j = lambda s: (((s + (cfg.iter_obj + cfg.iter_sil) * spi) // spi
                               - cfg.iter_obj + 1).astype(jnp.float32)) / 3.0
         lrs_j = {"obj_r": 0.0, "obj_t": cfg.lr_joint}

@@ -142,7 +142,13 @@ def train_loop(state, step_fn: Callable, train_loader: Iterable,
         return val
 
     last_ck = time.time()
-    step = int(np.asarray(getattr(state, "step", 0)))
+    if at_step is not None:
+        step = int(at_step)
+    else:
+        raw = state["step"] if isinstance(state, dict) else \
+            getattr(state, "step", 0)
+        step = int(np.asarray(raw))
+    last_saved = -1
     profiling = False
     for epoch in range(cfg.num_epochs):
         for batch in train_loader:
@@ -160,17 +166,21 @@ def train_loop(state, step_fn: Callable, train_loader: Iterable,
             if step % 10 == 0:
                 logger.log(step, loss=float(loss), epoch=epoch,
                            **{f"loss_{k}": float(v) for k, v in terms.items()})
-            if (time.time() - last_ck) / 60.0 >= cfg.ck_period_min:
+            if (time.time() - last_ck) / 60.0 >= cfg.ck_period_min \
+                    and step != last_saved:
                 ckio.save(step, state)
+                last_saved = step
                 val = run_val(state, step)
                 if val is not None:
                     ckio.record_best(step, val)
                 last_ck = time.time()
         # end of epoch: checkpoint + val (trainer.py:190-193)
-        ckio.save(step, state)
-        val = run_val(state, step)
-        if val is not None:
-            ckio.record_best(step, val)
+        if step != last_saved:
+            ckio.save(step, state)
+            last_saved = step
+            val = run_val(state, step)
+            if val is not None:
+                ckio.record_best(step, val)
     return state
 
 
