@@ -183,3 +183,44 @@ def test_pca_axes_reference_era_sign_convention(rng):
         u, s, vt = np.linalg.svd(x, full_matrices=False)
         _, ref = svd_flip(u, vt, u_based_decision=True)
         np.testing.assert_allclose(compute_pca_axes(v), ref, atol=1e-5)
+
+
+def test_eval_window_refit_indices_reference_parity(rng):
+    """The Procrustes window refit schedule must match the reference
+    (evalvideo_packed.py:104-141): `count` increments unconditionally at the
+    top of the frame loop (count = i+1, even on skipped frames), the first
+    fit happens at i=0 (transform is None) over window [0, W), and refits
+    happen when (i+1) % W == 0, i.e. at i = W-1, 2W-1, ... over [i, i+W)."""
+    import vistracker_tpu.eval.evaluator as ev
+    from vistracker_tpu.eval.metrics import compute_transform as ct_orig
+
+    L, W, V = 10, 4, 12
+    sgt = rng.randn(L, V, 3).astype(np.float64)
+    ogt = rng.randn(L, 8, 3).astype(np.float64)
+    src = sgt + 0.01 * rng.randn(L, V, 3)
+    orc = ogt + 0.01 * rng.randn(L, 8, 3)
+    faces = rng.randint(0, V, (6, 3))
+    ofaces = rng.randint(0, 8, (4, 3))
+
+    fits = []
+
+    def recording_ct(a, b):
+        fits.append(len(a))
+        return ct_orig(a, b)
+
+    exist = np.ones(L, bool)
+    exist[5] = False  # a skipped frame must NOT shift the refit schedule
+    orig = ev.compute_transform
+    try:
+        ev.compute_transform = recording_ct
+        errs = ev.eval_sequence(sgt, ogt, src, orc, faces, ofaces,
+                                recon_exist=exist, window=W,
+                                chamfer_samples=64)
+    finally:
+        ev.compute_transform = orig
+
+    # refits at i=0 (None), i=3, i=7 -> windows [0,4), [3,7), [7,10) with
+    # frame 5 excluded from the [3,7) fit
+    expected_sizes = [4 * (V + 8), 3 * (V + 8), 3 * (V + 8)]
+    assert [f for f in fits] == expected_sizes, fits
+    assert len(errs) == L - 1  # the skipped frame contributes no row

@@ -151,6 +151,96 @@ def test_real_track_pipeline(tmp_path, rng):
     assert rec.frames == [f"t{i:04d}.000" for i in range(4)]
 
 
+def test_real_track_full_sequence_stages(tmp_path, rng):
+    """Stages 2 and 5 must run over the WHOLE sequence, not per chunk:
+    SmoothNet windows (smooth_base.py:45-72) and the HVOP-Net 30-frame
+    autoregressive context (test_infill_autoreg.py:117-165) cross chunk
+    boundaries in the reference. On a 3-chunk sequence each temporal stage
+    must be invoked exactly once with all T frames, making the stage-2/5
+    outputs independent of --chunk-size by construction."""
+    from vistracker_tpu.cli.main import build_parser
+    from vistracker_tpu.cli.real_track import run_real_track
+    from vistracker_tpu.data.packed import load_packed_recon
+    from vistracker_tpu.cli.synthetic import box_mesh
+
+    T = 9
+    seq = str(tmp_path / "Date09_Sub97_boxsmall")
+    _make_fake_sequence(seq, rng, T=T)
+    assets = str(tmp_path / "assets")
+    _make_fake_assets(assets, rng)
+    smpl_pkl = str(tmp_path / "SMPLH_male.pkl")
+    _make_fake_smplh_pkl(smpl_pkl, rng)
+    obj_root = str(tmp_path / "objects")
+    os.makedirs(os.path.join(obj_root, "boxsmall"), exist_ok=True)
+    bv, bf = box_mesh()
+    save_ply(os.path.join(obj_root, "boxsmall", "boxsmall.ply"),
+             bv + np.array([0.1, 0.0, 2.3], np.float32), bf)
+
+    args = build_parser().parse_args([
+        "track", "--seq", seq, "--out", str(tmp_path / "out"),
+        "--smpl-model", smpl_pkl, "--assets", assets,
+        "--objects-root", obj_root, "--sifnet-ckpt", "random",
+        "--infiller-ckpt", "random", "--smoothnet-smpl-ckpt", "random",
+        "--smoothnet-objrot-ckpt", "random", "--tiny-nets",
+        "--chunk-size", "3", "--net-size", "32", "--crop-size", "96",
+        "--save-name", "fullseq"])
+
+    import functools
+    import vistracker_tpu.fit.smplt as smplt_mod
+    import vistracker_tpu.fit.joint as joint_mod
+    import vistracker_tpu.fit.generator as gen_mod
+    import vistracker_tpu.fit.smoothing as smoothing_mod
+    import vistracker_tpu.fit.infill as infill_mod
+    calls = {"smooth_smplt": [], "smooth_objrot": [], "infill": []}
+    orig = (smplt_mod.SMPLTFitConfig, joint_mod.JointFitConfig,
+            gen_mod.GeneratorConfig, smoothing_mod.smooth_smplt,
+            smoothing_mod.smooth_objrot, infill_mod.make_infiller)
+
+    def rec_smooth_smplt(params, poses, betas, trans, **kw):
+        calls["smooth_smplt"].append(len(poses))
+        return orig[3](params, poses, betas, trans, **kw)
+
+    def rec_smooth_objrot(params, rot, **kw):
+        calls["smooth_objrot"].append(len(rot))
+        return orig[4](params, rot, **kw)
+
+    def rec_make_infiller(model, cfg):
+        run = orig[5](model, cfg)
+
+        def wrapped(params, poses, trans, rot, occ, **kw):
+            calls["infill"].append(len(poses))
+            return run(params, poses, trans, rot, occ, **kw)
+        return wrapped
+
+    try:
+        smplt_mod.SMPLTFitConfig = lambda *a, **k: orig[0](
+            global_iters=1, max_iters=1)
+        joint_mod.JointFitConfig = functools.partial(
+            orig[1], iter_betas=1, iter_pose=1, iter_kpts=1, smpl_max_iter=1,
+            iter_obj=1, iter_sil=1, joint_max_iter=1, sil_size=32,
+            sil_sigma=1 / 16.0)
+        gen_mod.GeneratorConfig = functools.partial(
+            orig[2], num_steps=2, num_rounds=1, samples_per_round=128,
+            num_points=32)
+        smoothing_mod.smooth_smplt = rec_smooth_smplt
+        smoothing_mod.smooth_objrot = rec_smooth_objrot
+        infill_mod.make_infiller = rec_make_infiller
+        outfile = run_real_track(args)
+    finally:
+        (smplt_mod.SMPLTFitConfig, joint_mod.JointFitConfig,
+         gen_mod.GeneratorConfig, smoothing_mod.smooth_smplt,
+         smoothing_mod.smooth_objrot, infill_mod.make_infiller) = orig
+
+    # each temporal stage ran ONCE over the full sequence (not per chunk)
+    assert calls["smooth_smplt"] == [T], calls
+    assert calls["smooth_objrot"] == [T], calls
+    assert calls["infill"] == [T], calls
+    rec = load_packed_recon(outfile)
+    assert rec.num_frames == T
+    assert np.isfinite(rec.poses).all()
+    assert np.isfinite(rec.obj_trans).all()
+
+
 def test_real_track_neural_only(tmp_path, rng):
     """--neural-only stops after stage 4 and packs neural outputs."""
     from vistracker_tpu.cli.main import build_parser

@@ -356,6 +356,9 @@ def build_parser():
     tr.add_argument("--infiller-ckpt", help="cmf-k4-lrot checkpoint")
     tr.add_argument("--smoothnet-smpl-ckpt")
     tr.add_argument("--smoothnet-objrot-ckpt")
+    tr.add_argument("--smpl-query-points", type=int, default=0,
+                    help="subsample SMPL verts in the stage-6 df losses "
+                         "(speed opt-in; 0 = all 6890, reference parity)")
     tr.add_argument("--tiny-nets", action="store_true",
                     help="tiny network configs (pipeline smoke tests)")
     tr.add_argument("--redo", action="store_true",

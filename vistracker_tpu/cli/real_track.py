@@ -9,10 +9,17 @@ Inputs per sequence (reference data layout, behave.FrameDataReader):
   self-trained checkpoints for SIF-Net / SmoothNet / HVOP-Net (torch .tar
   via models.torch_import, or orbax dirs from our trainer).
 
-Per chunk of --chunk-size consecutive frames the whole pipeline runs as
-jit-compiled programs on device; chunks stream through the sequence
-(reference demo.sh uses 512/64/96-frame chunks across stages — here one
-chunk size serves all stages and stays resident on device between them).
+Stage structure (matching the reference's per-stage sequence granularity):
+the per-frame-independent heavy stages (1 keypoint fit, 2b refit, 3 crops
++ triplanes, 4 SIF-Net, 6 joint optimization) stream through the sequence
+in chunks of --chunk-size frames as jit-compiled device programs, while the
+temporal stages run over the WHOLE sequence at once — stage 2a SmoothNet
+smoothing (reference smoothnet/smooth_base.py:45-72 slides W=64 windows
+across the full sequence) and stage 5 object-rot smoothing + HVOP-Net
+autoregressive infill (interp/test_infill_autoreg.py:117-165 carries the
+30-frame context across the full sequence). SmoothNet windows and infill
+context therefore cross chunk boundaries exactly as in the reference;
+chunking only bounds device memory for the per-chunk programs.
 """
 from __future__ import annotations
 
@@ -124,13 +131,27 @@ def run_real_track(args):
     else:
         inf_params = TI.infiller_params(args.infiller_ckpt, inf_cfg)
     W = 64
-    sn_smpl_params = TI.smoothnet_params(args.smoothnet_smpl_ckpt, smpl=True) \
-        if args.smoothnet_smpl_ckpt else None
-    sn_rot_params = TI.smoothnet_params(args.smoothnet_objrot_ckpt) \
-        if args.smoothnet_objrot_ckpt else None
+
+    def _sn_params(ck, smpl):
+        if not ck:
+            return None
+        if ck == "random":  # untrained weights for pipeline smoke tests
+            model = (SmoothNetSMPL(window_size=W, output_size=W) if smpl
+                     else SmoothNet(window_size=W, output_size=W))
+            return model.init(jax.random.PRNGKey(7),
+                              jnp.zeros((1, 157 if smpl else 6, W)))
+        return TI.smoothnet_params(ck, smpl=smpl)
+
+    sn_smpl_params = _sn_params(args.smoothnet_smpl_ckpt, smpl=True)
+    sn_rot_params = _sn_params(args.smoothnet_objrot_ckpt, smpl=False)
 
     fit_cfg = SMPLTFitConfig()
-    jcfg = JointFitConfig(early_stop=True, smpl_query_points=2048)
+    # parity default: query ALL SMPL verts in the df/part losses like the
+    # reference (recon_fit_behave.py:467-513); subsampling is an opt-in
+    # speed/accuracy trade via --smpl-query-points
+    jcfg = JointFitConfig(
+        early_stop=True,
+        smpl_query_points=getattr(args, "smpl_query_points", 0) or 0)
     gen_cfg = GeneratorConfig()
     generate = make_generator(sifnet_query_fn(sifnet), gen_cfg)
     run_infill = make_infiller(infiller, inf_cfg)
@@ -153,23 +174,63 @@ def run_real_track(args):
                                    part_labels, jcfg)
     opt_obj = make_object_optimizer(query_fn, project_px, jcfg)
 
-    all_out = dict(poses=[], betas=[], trans=[], obj_angles=[], obj_trans=[],
-                   obj_scales=[], recon_exist=[])
+    from ..models.sifnet import pack_cache
+    smpl_faces = jnp.asarray(smpl_model.faces)
+    T = len(frames)
+    chunks = [frames[c0:c0 + args.chunk_size]
+              for c0 in range(0, T, args.chunk_size)]
+    bounds = np.cumsum([0] + [len(c) for c in chunks])
+    neural_only = bool(getattr(args, "neural_only", False))
 
-    for c0 in range(0, len(frames), args.chunk_size):
-        chunk = frames[c0:c0 + args.chunk_size]
+    def build_images(chunk, verts2_c, body_centers_c):
+        """Stage-3 inputs for one chunk: 5ch crop stack + 3ch triplanes.
+        Rebuilt from the readers on each pass — recomputing the crops +
+        encode is far cheaper than holding every chunk's feature cache
+        (~5 GB/chunk at release sizes) across the full-sequence stages."""
+        images, ccs = [], []
+        for j, idx in enumerate(chunk):
+            rgb = reader.get_color(idx, kid)
+            pm = reader.get_mask(idx, kid, "person")
+            om = reader.get_mask(idx, kid, "obj")
+            img5, cc = prepare_input_crop(rgb, pm, om, args.crop_size,
+                                          args.net_size)
+            tri = np.asarray(render_triplane_masks(
+                verts2_c[j], smpl_faces, body_centers_c[j], args.net_size))
+            images.append(np.concatenate([img5, tri], -1))
+            ccs.append(cc)
+        return np.stack(images), np.stack(ccs)
+
+    def encode_chunk(images):
+        B = len(images)
+        cache = sifnet.apply(sif_params, jnp.asarray(images),
+                             method=SIFNet.encode)
+        # corner packing (PERF_NOTES.md); packing the half-res stem maps too
+        # quadruples the dominant memory term — only below ~2 GB
+        tmpx_bytes = 4 * B * (args.net_size // 2) ** 2 * 4 * (
+            sif_cfg.tmpx_dim + 3 * sif_cfg.triplane_tmpx_dim)
+        return pack_cache(cache, pack_tmpx=tmpx_bytes < 2e9)
+
+    def norm_kpts(k, ccs):
+        xy = 2.0 * (args.crop_size / 2 + k[..., :2]
+                    - ccs[:, None, :]) / args.crop_size - 1.0
+        return np.concatenate([xy, k[..., 2:]], -1).astype(np.float32)
+
+    # ================= pass 1: per-chunk SMPL-T keypoint fits =============
+    kpts_all = np.zeros((T, 25, 3), np.float32)
+    p1_pose = np.zeros((T, 156), np.float32)
+    p1_betas = np.zeros((T, 10), np.float32)
+    p1_trans = np.zeros((T, 3), np.float32)
+    for ci, chunk in enumerate(chunks):
         B = len(chunk)
-        print(f"[vistracker] chunk {chunk[0]}..{chunk[-1]} ({B} frames)")
-
-        # ---- load observations ----
+        sl = slice(bounds[ci], bounds[ci + 1])
+        print(f"[vistracker] stage 1 chunk {chunk[0]}..{chunk[-1]}"
+              f" ({B} frames)")
         kpts, mocap_poses, bbox_centers = [], [], []
-        rgbs, pms, oms = [], [], []
         for idx in chunk:
             kpts.append(reader.get_body_kpts(idx, kid))
             p, _ = reader.get_mocap_params(idx, kid)
             mocap_poses.append(p)
             pm = reader.get_mask(idx, kid, "person")
-            om = reader.get_mask(idx, kid, "obj")
             ys, xs = np.nonzero(pm)
             if len(xs) < 10:  # detector miss: fall back to the image center
                 h, w = pm.shape
@@ -179,12 +240,7 @@ def run_real_track(args):
             else:
                 bbox_centers.append([(xs.max() + xs.min()) / 2,
                                      (ys.max() + ys.min()) / 2])
-            rgbs.append(reader.get_color(idx, kid))
-            pms.append(pm)
-            oms.append(om)
-        kpts = np.stack(kpts).astype(np.float32)
-
-        # ---- stage 1: SMPL-T keypoint fit ----
+        kpts_all[sl] = np.stack(kpts).astype(np.float32)
         betas0 = np.zeros((B, 10), np.float32)
         betas0[:, 0] = 2.2  # fixed shape init (fit_SMPLH_30fps.py:143-144)
         init = smplh_params(np.stack(mocap_poses), betas0,
@@ -193,120 +249,152 @@ def run_real_track(args):
                                                  fit_cfg),
                             mean_hands=mean_hands)
         p1, _ = fit_smplt(smpl_model, landmarks, body_prior, hand_prior,
-                          jnp.asarray(kpts), init, fit_cfg)
+                          jnp.asarray(kpts_all[sl]), init, fit_cfg)
+        p1_pose[sl] = np.asarray(p1.pose)
+        p1_betas[sl] = np.asarray(p1.betas)
+        p1_trans[sl] = np.asarray(p1.trans)
 
-        # ---- stage 2: smooth + refit ----
-        if sn_smpl_params is not None:
-            # always the checkpoint's window: pad_to_window handles
-            # chunks shorter than 64 frames
-            sm = smooth_smplt(sn_smpl_params, np.asarray(p1.pose),
-                              np.asarray(p1.betas), np.asarray(p1.trans),
-                              window=W)
-            init2 = smplh_params(sm["poses"], sm["betas"], sm["trans"],
-                                 mean_hands=mean_hands)
-            refit_cfg = SMPLTFitConfig(max_iters=30)
+    # ============ stage 2: FULL-SEQUENCE SmoothNet smooth + refit ==========
+    # the sliding W=64 windows span the whole sequence, crossing chunk
+    # boundaries (smooth_base.py:45-72); only the re-fit streams in chunks
+    p2_pose, p2_betas, p2_trans = p1_pose, p1_betas, p1_trans
+    if sn_smpl_params is not None:
+        print(f"[vistracker] stage 2: SmoothNet over all {T} frames + refit")
+        sm = smooth_smplt(sn_smpl_params, p1_pose, p1_betas, p1_trans,
+                          window=W)
+        p2_pose = np.zeros_like(p1_pose)
+        p2_betas = np.zeros_like(p1_betas)
+        p2_trans = np.zeros_like(p1_trans)
+        refit_cfg = SMPLTFitConfig(max_iters=30)
+        for ci, chunk in enumerate(chunks):
+            sl = slice(bounds[ci], bounds[ci + 1])
+            init2 = smplh_params(sm["poses"][sl], sm["betas"][sl],
+                                 sm["trans"][sl], mean_hands=mean_hands)
             p2, _ = fit_smplt(smpl_model, landmarks, body_prior, hand_prior,
-                              jnp.asarray(kpts), init2, refit_cfg,
+                              jnp.asarray(kpts_all[sl]), init2, refit_cfg,
                               skip_global_phase=True)
-        else:
-            p2 = p1
+            p2_pose[sl] = np.asarray(p2.pose)
+            p2_betas[sl] = np.asarray(p2.betas)
+            p2_trans[sl] = np.asarray(p2.trans)
 
-        verts2, _, _, _ = lbs_forward(smpl_model, p2.pose, p2.betas, p2.trans)
+    # ====== pass 2: per-chunk stages 3+4 (+ stage-6a SMPL refinement) ======
+    body_centers_all = np.zeros((T, 3), np.float32)
+    neural_pca = np.zeros((T, 3, 3), np.float32)
+    neural_trans = np.zeros((T, 3), np.float32)
+    occ_all = np.zeros(T, np.float32)
+    smpl_pose = np.zeros_like(p1_pose)
+    smpl_betas = np.zeros_like(p1_betas)
+    smpl_trans = np.zeros_like(p1_trans)
+    for ci, chunk in enumerate(chunks):
+        sl = slice(bounds[ci], bounds[ci + 1])
+        print(f"[vistracker] stages 3-4 chunk {chunk[0]}..{chunk[-1]}")
+        verts2, _, _, _ = lbs_forward(smpl_model, jnp.asarray(p2_pose[sl]),
+                                      jnp.asarray(p2_betas[sl]),
+                                      jnp.asarray(p2_trans[sl]))
         body_centers = landmarks.smpl_center(verts2)
-
-        # ---- stage 3 + 4 inputs: crops + triplanes ----
-        images, crop_centers = [], []
-        smpl_faces = jnp.asarray(smpl_model.faces)
-        for i in range(B):
-            img5, cc = prepare_input_crop(rgbs[i], pms[i], oms[i],
-                                          args.crop_size, args.net_size)
-            tri = np.asarray(render_triplane_masks(
-                verts2[i], smpl_faces, body_centers[i], args.net_size))
-            images.append(np.concatenate([img5, tri], -1))
-            crop_centers.append(cc)
-        images = jnp.asarray(np.stack(images))
-        crop_centers = np.stack(crop_centers)
-        cc_j = jnp.asarray(crop_centers)
-
-        # ---- stage 4: SIF-Net + generation ----
-        from ..models.sifnet import pack_cache
-        cache = sifnet.apply(sif_params, images, method=SIFNet.encode)
-        # corner packing (PERF_NOTES.md); packing the half-res stem maps too
-        # quadruples the dominant memory term — only below ~2 GB
-        tmpx_bytes = 4 * B * (args.net_size // 2) ** 2 * 4 * (
-            sif_cfg.tmpx_dim + 3 * sif_cfg.triplane_tmpx_dim)
-        cache = pack_cache(cache, pack_tmpx=tmpx_bytes < 2e9)
-        pc = generate(sif_params, cache, cc_j, body_centers,
-                      jax.random.PRNGKey(c0))
-        occ = np.asarray(pc["object"]["visibility"])[:, 0]
-
-        if getattr(args, "neural_only", False):
-            # demo.sh stage 4: save only neural reconstruction results
-            all_out.setdefault("neural_pca", []).append(
-                np.asarray(pc["object"]["pca_axis"]))
-            all_out.setdefault("neural_trans", []).append(
-                np.asarray(pc["object"]["centers"]))
-            all_out.setdefault("neural_visibility", []).append(occ)
-            all_out["recon_exist"].append(np.ones(B, bool))
-            all_out["poses"].append(np.asarray(p2.pose))
-            all_out["betas"].append(np.asarray(p2.betas))
-            all_out["trans"].append(np.asarray(p2.trans))
-            all_out["obj_angles"].append(
-                np.broadcast_to(np.eye(3), (B, 3, 3)).copy())
-            all_out["obj_trans"].append(np.zeros((B, 3)))
-            all_out["obj_scales"].append(np.ones(B))
+        body_centers_all[sl] = np.asarray(body_centers)
+        images, ccs = build_images(chunk, verts2, body_centers)
+        cache = encode_chunk(images)
+        pc = generate(sif_params, cache, jnp.asarray(ccs), body_centers,
+                      jax.random.PRNGKey(int(bounds[ci])))
+        neural_pca[sl] = np.asarray(pc["object"]["pca_axis"])
+        neural_trans[sl] = np.asarray(pc["object"]["centers"])
+        occ_all[sl] = np.asarray(pc["object"]["visibility"])[:, 0]
+        if neural_only:
             continue
+        # stage-6a SMPL refinement (optimize_smpl) — depends only on the
+        # smoothed SMPL-T init + this chunk's neural fields, so it runs here
+        # while the encoder cache is already resident
+        ctx = dict(params=sif_params, cache=cache, cc=jnp.asarray(ccs),
+                   bc=body_centers)
+        p2c = smplh_params(p2_pose[sl], p2_betas[sl], p2_trans[sl],
+                           mean_hands=mean_hands)
+        smpl_final, _ = opt_smpl(p2c, jnp.asarray(norm_kpts(kpts_all[sl],
+                                                            ccs)), ctx)
+        smpl_pose[sl] = np.asarray(smpl_final.pose)
+        smpl_betas[sl] = np.asarray(smpl_final.betas)
+        smpl_trans[sl] = np.asarray(smpl_final.trans)
 
-        # ---- stage 5: object-rot smoothing + infill ----
-        rot_init = np.asarray(init_object_orientation(
-            jnp.asarray(np.asarray(pc["object"]["pca_axis"])),
-            jnp.broadcast_to(jnp.asarray(pca_init), (B, 3, 3))))
-        rot_real = rot_init.transpose(0, 2, 1)
-        if sn_rot_params is not None:
-            rot_packed = smooth_objrot(sn_rot_params, rot_real, window=W)
-            rot_real = rot_packed.transpose(0, 2, 1)
-        filled = run_infill(inf_params, np.asarray(p2.pose),
-                            np.asarray(p2.trans), rot_real, occ)
-        rot_real = filled if filled is not None else rot_real
+    if neural_only:
+        # demo.sh stage 4: pack only neural reconstruction results
+        packed = dict(
+            poses=p2_pose, betas=p2_betas, trans=p2_trans,
+            obj_angles=np.broadcast_to(np.eye(3), (T, 3, 3)).copy(),
+            obj_trans=np.zeros((T, 3)), obj_scales=np.ones(T),
+            neural_pca=neural_pca, neural_trans=neural_trans,
+            neural_visibility=occ_all, recon_exist=np.ones(T, bool))
+        packed.update(recon_name=args.save_name,
+                      frames=[reader.frames[i] for i in frames],
+                      gender=reader.seq_info.get_gender())
+        save_packed(outfile, packed)
+        dt = time.time() - t_start
+        print(json.dumps({"packed": outfile, "frames": T,
+                          "seconds": round(dt, 1),
+                          "fps": round(T / dt, 2)}))
+        return outfile
 
-        # ---- stage 6: joint optimization ----
-        def norm_kpts(k):
-            xy = 2.0 * (args.crop_size / 2 + k[..., :2]
-                        - crop_centers[:, None, :]) / args.crop_size - 1.0
-            return np.concatenate([xy, k[..., 2:]], -1).astype(np.float32)
+    # ==== stage 5: FULL-SEQUENCE object-rot smoothing + HVOP-Net infill ====
+    # the autoregressive 30-frame context carries across the whole sequence
+    # (test_infill_autoreg.py:117-165), so occlusions spanning chunk
+    # boundaries are infilled from real context instead of resetting
+    print(f"[vistracker] stage 5: smoothing + infill over all {T} frames")
+    rot_init = np.asarray(init_object_orientation(
+        jnp.asarray(neural_pca),
+        jnp.broadcast_to(jnp.asarray(pca_init), (T, 3, 3))))
+    rot_real = rot_init.transpose(0, 2, 1)
+    if sn_rot_params is not None:
+        rot_packed = smooth_objrot(sn_rot_params, rot_real, window=W)
+        rot_real = rot_packed.transpose(0, 2, 1)
+    filled = run_infill(inf_params, smpl_pose, smpl_trans, rot_real, occ_all)
+    rot_real = filled if filled is not None else rot_real
 
-        ctx = dict(params=sif_params, cache=cache, cc=cc_j, bc=body_centers)
-        smpl_final, _ = opt_smpl(p2, jnp.asarray(norm_kpts(kpts)), ctx)
-        verts_f, _, _, _ = lbs_forward(smpl_model, smpl_final.pose,
-                                       smpl_final.betas, smpl_final.trans)
-
-        images_np = np.asarray(images)  # single transfer
-        pm_net = images_np[..., 3]
-        om_net = images_np[..., 4]
-        sil = prepare_sil_refs(pm_net, om_net, crop_centers, args.crop_size,
+    # ============== pass 3: per-chunk stage-6b object fitting ==============
+    obj_angles = np.zeros((T, 3, 3), np.float32)
+    obj_trans = np.zeros((T, 3), np.float32)
+    for ci, chunk in enumerate(chunks):
+        B = len(chunk)
+        sl = slice(bounds[ci], bounds[ci + 1])
+        print(f"[vistracker] stage 6 chunk {chunk[0]}..{chunk[-1]}")
+        # rebuild the stage-3 inputs + encoder cache (triplanes come from the
+        # SMOOTHED SMPL like pass 2 — the reference also feeds SIF-Net the
+        # smooth-triplane renders during joint opt, testdata_triplane.py)
+        verts2, _, _, _ = lbs_forward(smpl_model, jnp.asarray(p2_pose[sl]),
+                                      jnp.asarray(p2_betas[sl]),
+                                      jnp.asarray(p2_trans[sl]))
+        images, ccs = build_images(chunk, verts2,
+                                   jnp.asarray(body_centers_all[sl]))
+        cache = encode_chunk(images)
+        ctx = dict(params=sif_params, cache=cache, cc=jnp.asarray(ccs),
+                   bc=jnp.asarray(body_centers_all[sl]))
+        verts_f, _, _, _ = lbs_forward(smpl_model, jnp.asarray(smpl_pose[sl]),
+                                       jnp.asarray(smpl_betas[sl]),
+                                       jnp.asarray(smpl_trans[sl]))
+        pm_net = images[..., 3]
+        om_net = images[..., 4]
+        sil = prepare_sil_refs(pm_net, om_net, ccs, args.crop_size,
                                args.net_size, jcfg.sil_size)
         # obj_s is fixed to 1: the release overwrites optimize_smpl's
         # returned height scale with ones ("Oct06: use single scale",
         # recon_fit_triplane.py:73-74)
-        obj_t0 = np.asarray(pc["object"]["centers"]) + np.asarray(body_centers)
+        obj_t0 = neural_trans[sl] + body_centers_all[sl]
         obj_pts_b = jnp.broadcast_to(jnp.asarray(obj_points),
                                      (B,) + obj_points.shape)
-        sil_verts_b = jnp.broadcast_to(jnp.asarray(temp_v), (B,) + temp_v.shape)
+        sil_verts_b = jnp.broadcast_to(jnp.asarray(temp_v),
+                                       (B,) + temp_v.shape)
         r_fin, t_fin, _ = opt_obj(
-            jnp.asarray(rot_real.transpose(0, 2, 1)), jnp.asarray(obj_t0),
-            jnp.ones(B), obj_pts_b, verts_f, part_labels, jnp.asarray(occ),
-            sil, sil_verts_b, jnp.asarray(sil_faces), ctx)
-
-        all_out["poses"].append(np.asarray(smpl_final.pose))
-        all_out["betas"].append(np.asarray(smpl_final.betas))
-        all_out["trans"].append(np.asarray(smpl_final.trans))
-        all_out["obj_angles"].append(np.asarray(r_fin))
-        all_out["obj_trans"].append(np.asarray(t_fin))
-        all_out["obj_scales"].append(np.ones(B))
-        all_out["recon_exist"].append(np.ones(B, bool))
+            jnp.asarray(rot_real[sl].transpose(0, 2, 1)),
+            jnp.asarray(obj_t0), jnp.ones(B), obj_pts_b, verts_f,
+            part_labels, jnp.asarray(occ_all[sl]), sil, sil_verts_b,
+            jnp.asarray(sil_faces), ctx)
+        obj_angles[sl] = np.asarray(r_fin)
+        obj_trans[sl] = np.asarray(t_fin)
 
     # ---- stage 7: pack ----
-    packed = {k: np.concatenate(v, 0) for k, v in all_out.items()}
+    packed = dict(poses=smpl_pose, betas=smpl_betas, trans=smpl_trans,
+                  obj_angles=obj_angles, obj_trans=obj_trans,
+                  obj_scales=np.ones(T), recon_exist=np.ones(T, bool),
+                  neural_pca=neural_pca, neural_trans=neural_trans,
+                  neural_visibility=occ_all)
     packed.update(recon_name=args.save_name,
                   frames=[reader.frames[i] for i in frames],
                   gender=reader.seq_info.get_gender())
