@@ -108,7 +108,8 @@ def run_real_track(args):
 
     if args.sifnet_ckpt == "random":
         sif_params = _init_sif()
-    elif os.path.isdir(args.sifnet_ckpt):
+    elif os.path.isdir(args.sifnet_ckpt) \
+            and not TI.is_torch_experiment_dir(args.sifnet_ckpt):
         # orbax checkpoint from our own trainer (fit/trainer_loop.py)
         from ..fit.trainer_loop import CheckpointIO
         state, at_step = CheckpointIO(args.sifnet_ckpt).restore_latest(None)

@@ -14,26 +14,118 @@ layer correspondence. Layout conversions:
 Checkpoint containers: trainer tar checkpoints store model_state_dict
 (trainer.py:231-253); SmoothNet uses checkpoint.pth.tar['state_dict'];
 DDP "module." prefixes are stripped (generator.py:296-303).
+
+Released artifact layout (experiment folders):
+  experiments/<exp_name>/
+    checkpoints/checkpoint_{H}h:{M}m:{S}s_{secs}.tar   (time-stamped, DDP)
+    val_min=<epoch>.npy    = [epoch, val_loss, ck_file] (trainer.py:369-375)
+    best_model.json        = {epoch, val_loss, ck_file}
+  experiments/*<exp_name>/checkpoint.pth.tar            (SmoothNet layout,
+    evaluate_config.py:222-229 + smooth_base.py:25-35 epoch >= 10 gate)
+`find_checkpoint` resolves a folder to the best/last checkpoint with the
+reference's precedence (generator.py:259-308: val_min file first, else the
+tar with the largest training-time suffix).
 """
 from __future__ import annotations
+
+import glob
+import json
+import os
 
 import numpy as np
 
 
-def load_state_dict(path: str) -> dict:
-    """Load a torch checkpoint file -> {name: np.ndarray}, prefix-stripped."""
+def convert_secs(sec: float) -> tuple[int, int, int]:
+    """Training-time -> (h, m, s) name components (trainer.py:406-410)."""
+    return int(sec / 3600), int((sec / 60) % 60), int(sec % 60)
+
+
+def checkpoint_name(training_time: float) -> str:
+    """Time-stamped tar name the reference trainer writes (trainer.py:232)."""
+    h, m, s = convert_secs(training_time)
+    return f"checkpoint_{h}h:{m}m:{s}s_{training_time}.tar"
+
+
+def is_torch_experiment_dir(path: str) -> bool:
+    """Does `path` look like a released torch experiment folder (vs e.g. an
+    orbax checkpoint dir from our own trainer)?"""
+    return bool(
+        glob.glob(os.path.join(path, "val_min=*"))
+        or os.path.isfile(os.path.join(path, "best_model.json"))
+        or glob.glob(os.path.join(path, "checkpoints", "*.tar"))
+        or os.path.isfile(os.path.join(path, "checkpoint.pth.tar")))
+
+
+def find_checkpoint(exp_dir: str) -> str:
+    """Resolve an experiment folder to a checkpoint file path.
+
+    Precedence (generator.py:259-280 find_best_checkpoint):
+      1. val_min=<epoch>.npy -> checkpoints/<ck_file>
+      2. best_model.json['ck_file'] (written alongside the npy,
+         trainer.py:369-375)
+      3. the checkpoints/*.tar with the largest float training-time suffix
+      4. checkpoint.pth.tar in the folder itself (SmoothNet layout)
+    """
+    if os.path.isfile(exp_dir):
+        return exp_dir
+    ck_dir = os.path.join(exp_dir, "checkpoints")
+    for vm in sorted(glob.glob(os.path.join(exp_dir, "val_min=*"))):
+        log = np.load(vm, allow_pickle=True)
+        path = os.path.join(ck_dir, str(log[2]))
+        if os.path.isfile(path):
+            return path
+    bm = os.path.join(exp_dir, "best_model.json")
+    if os.path.isfile(bm):
+        with open(bm, encoding="utf-8") as f:
+            ck = json.load(f).get("ck_file")
+        if ck and os.path.isfile(os.path.join(ck_dir, ck)):
+            return os.path.join(ck_dir, ck)
+    tars = glob.glob(os.path.join(ck_dir, "*.tar"))
+    if tars:
+        def ttime(p):
+            try:  # suffix after the last '_' is the float training time
+                return float(os.path.splitext(os.path.basename(p))[0]
+                             .split("_")[-1])
+            except ValueError:
+                return -1.0
+        return max(tars, key=ttime)
+    sn = os.path.join(exp_dir, "checkpoint.pth.tar")
+    if os.path.isfile(sn):
+        return sn
+    raise FileNotFoundError(
+        f"no torch checkpoint found under {exp_dir} (looked for val_min=*, "
+        "best_model.json, checkpoints/*.tar, checkpoint.pth.tar)")
+
+
+def load_checkpoint_file(path: str) -> tuple[dict, dict]:
+    """Load a checkpoint file or experiment folder.
+
+    Returns (container, state_dict) where container holds the checkpoint
+    metadata (epoch, training_time, ...) and state_dict maps parameter
+    names (DDP 'module.' prefixes stripped) to numpy arrays."""
     import torch
+    if os.path.isdir(path):
+        path = find_checkpoint(path)
     ck = torch.load(path, map_location="cpu", weights_only=False)
+    container = ck if isinstance(ck, dict) else {}
+    sd = ck
     for key in ("model_state_dict", "state_dict", "model"):
         if isinstance(ck, dict) and key in ck:
-            ck = ck[key]
+            sd = ck[key]
             break
     out = {}
-    for k, v in ck.items():
+    for k, v in sd.items():
         if k.startswith("module."):
             k = k[len("module."):]
-        out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
-    return out
+        out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") \
+            else np.asarray(v)
+    return container, out
+
+
+def load_state_dict(path: str) -> dict:
+    """Load a torch checkpoint file or experiment folder ->
+    {name: np.ndarray}, prefix-stripped."""
+    return load_checkpoint_file(path)[1]
 
 
 def _conv2d(sd, name):
@@ -215,8 +307,16 @@ def _smoothnet(sd, prefix, num_blocks):
 def smoothnet_params(path_or_sd, num_blocks: int = 1,
                      smpl: bool = False) -> dict:
     """Released SmoothNet checkpoint -> SmoothNet(SMPL) flax params."""
-    sd = (path_or_sd if isinstance(path_or_sd, dict)
-          else load_state_dict(path_or_sd))
+    if isinstance(path_or_sd, dict):
+        sd = path_or_sd
+    else:
+        container, sd = load_checkpoint_file(path_or_sd)
+        if "epoch" in container and int(container["epoch"]) < 10:
+            # the reference refuses under-trained SmoothNets
+            # (smooth_base.py:28: assert epoch >= 10)
+            raise ValueError(
+                f"SmoothNet checkpoint only trained to epoch "
+                f"{container['epoch']} (< 10, smooth_base.py:28)")
     if smpl:
         return {"params": {
             "pose_net": _smoothnet(sd, "pose_net", num_blocks),
