@@ -91,12 +91,44 @@ def test_infiller_clips_and_training_step(rng, tmp_path):
     lcfg = LoopConfig(num_epochs=2, ck_period_min=1e9,
                       out_dir=str(tmp_path / "exp"), max_val_batches=2)
     to_dev = lambda b: {k: jnp.asarray(v) for k, v in b.items()}
+
+    # in-training downstream autoregressive eval on a held-out sequence
+    # (trainer_cinfiller.py:46-194 parity): chamfer/v2v per val epoch in
+    # metrics.jsonl + best-model selection on the downstream v2v
+    from vistracker_tpu.fit.infill import make_infiller, downstream_recon_eval
+    from vistracker_tpu.cli.synthetic import box_mesh
+    run = make_infiller(model, cfg)
+    occ = np.ones(T, np.float32)
+    occ[20:32] = 0.0
+    bv, bf = box_mesh()
+    held_out = [dict(poses=seqs[0]["poses"], trans=seqs[0]["trans"],
+                     obj_rot_real=seqs[0]["obj_rot_real"],
+                     obj_rot_gt=seqs[0]["obj_rot_real"], occ=occ,
+                     temp_verts=bv, temp_faces=bf)]
+    downstream_calls = []
+
+    def downstream(state, step):
+        m = downstream_recon_eval(run, state["params"], held_out,
+                                  init_thres=0.0, samples=200)
+        downstream_calls.append(step)
+        return m
+
     state = train_loop(state, step_fn, loader, val_loader=loader,
-                       val_loss_fn=val_fn, cfg=lcfg, to_device=to_dev)
+                       val_loss_fn=val_fn, cfg=lcfg, to_device=to_dev,
+                       downstream_fn=downstream,
+                       select_on="downstream_v2v_cm")
     assert int(np.asarray(state["step"])) == 2 * len(loader)
     # metrics written, checkpoint + best model recorded
     assert os.path.isfile(str(tmp_path / "exp" / "metrics.jsonl"))
     assert os.path.isfile(str(tmp_path / "exp" / "best_model.json"))
+    # downstream ran per val epoch and its metrics were logged
+    assert len(downstream_calls) == 2
+    import json as _json
+    recs = [_json.loads(l) for l in
+            open(str(tmp_path / "exp" / "metrics.jsonl"))]
+    dsr = [r for r in recs if "downstream_v2v_cm" in r]
+    assert len(dsr) == 2
+    assert all(np.isfinite(r["downstream_chamfer_cm"]) for r in dsr)
 
     # resume restores the saved step
     ckio = CheckpointIO(str(tmp_path / "exp"))

@@ -630,25 +630,36 @@ def run_train_infiller(args):
     lcfg = LoopConfig(num_epochs=args.epochs, out_dir=args.out,
                       ck_period_min=1e9)
     to_dev = lambda b: {k: jnp.asarray(v) for k, v in b.items()}
-    state = train_loop(state, step_fn, loader, val_loader=loader,
-                       val_loss_fn=val_fn, cfg=lcfg, to_device=to_dev)
 
-    # downstream eval: run the full autoregressive infill on a held-out
-    # clip and report geodesic rotation error — the trainer_cinfiller.py
-    # integration-eval-inside-training pattern
-    from ..fit.infill import make_infiller
-    from ..eval.evaluator import rotation_errors_deg
+    # in-training downstream eval (trainer_cinfiller.py:46-194): every val
+    # point runs the FULL autoregressive infill on a held-out sequence with
+    # an occlusion stretch and logs chamfer/v2v (cm) on the occluded frames;
+    # best-model selection uses the downstream v2v
+    from ..fit.infill import make_infiller, downstream_recon_eval
+    from ..cli.synthetic import box_mesh
     run = make_infiller(model, cfg)
     hold = seqs[0]
     occ = np.ones(T, np.float32)
     occ[T // 3:T // 2] = 0.0  # occlude a stretch
-    filled = run(state["params"], hold["poses"], hold["trans"],
-                 hold["obj_rot_real"], occ)
-    rot_err = (float(np.mean(rotation_errors_deg(
-        filled, hold["obj_rot_real"]))) if filled is not None else None)
+    bv, bf = box_mesh()
+    held_out = [dict(poses=hold["poses"], trans=hold["trans"],
+                     obj_rot_real=hold["obj_rot_real"],
+                     obj_rot_gt=hold["obj_rot_real"], occ=occ,
+                     temp_verts=bv, temp_faces=bf)]
+
+    def downstream(state, step):
+        return downstream_recon_eval(run, state["params"], held_out,
+                                     init_thres=0.0, samples=500)
+
+    state = train_loop(state, step_fn, loader, val_loader=loader,
+                       val_loss_fn=val_fn, cfg=lcfg, to_device=to_dev,
+                       downstream_fn=downstream,
+                       select_on="downstream_v2v_cm")
+
+    final = downstream(state, int(np.asarray(state["step"])))
     print(json.dumps({"out": args.out,
                       "steps": int(np.asarray(state["step"])),
-                      "downstream_rot_err_deg": rot_err}))
+                      **{k: round(v, 4) for k, v in final.items()}}))
 
 
 def run_render(args):

@@ -124,3 +124,58 @@ def make_infiller(model: ConditionalMInfiller,
         return rots
 
     return run
+
+
+def downstream_recon_eval(run_infill, params, seqs, occ_thres: float = 0.5,
+                          init_thres: float = 0.5, samples: int = 2000,
+                          seed: int = 0) -> dict:
+    """In-training downstream eval: run the FULL autoregressive infill on
+    held-out sequences and measure object chamfer + v2v (cm) on the
+    OCCLUDED frames (visibility <= occ_thres) against GT rotations.
+
+    Parity target: trainer_cinfiller.py:46-194 (test_recon_interp) — the
+    reference's integration test inside HVOP-Net training, logged per val
+    epoch and here also usable for best-model selection.
+
+    seqs: list of dicts with poses (T, 72/156), trans (T, 3),
+    obj_rot_real (T, 3, 3) recon input rotations, obj_rot_gt (T, 3, 3) GT
+    REAL rotations, occ (T,) visibility ratios, temp_verts (V, 3) and
+    temp_faces (F, 3) object template. Returns {downstream_chamfer_cm,
+    downstream_v2v_cm} averaged over occluded frames of all sequences.
+    """
+    from ..ops.chamfer import chamfer_distance
+    from ..utils.mesh import sample_surface
+    v2v_all, chamf_all = [], []
+    for si, seq in enumerate(seqs):
+        occ = np.asarray(seq["occ"]).reshape(-1)
+        filled = run_infill(params, seq["poses"], seq["trans"],
+                            seq["obj_rot_real"], occ, occ_thres=occ_thres,
+                            init_thres=init_thres)
+        if filled is None:  # unreliable seeds: passthrough, skip sequence
+            continue
+        keep = occ <= occ_thres  # evaluate only occluded frames
+        if not keep.any():
+            continue
+        tv = np.asarray(seq["temp_verts"], np.float32)
+        # rotation-only evaluation (trainer_cinfiller.py:166-172)
+        ov_pred = np.einsum("vj,tij->tvi", tv, filled[keep])
+        ov_gt = np.einsum("vj,tij->tvi", tv,
+                          np.asarray(seq["obj_rot_gt"])[keep])
+        v2v_all.extend(
+            (np.linalg.norm(ov_pred - ov_gt, axis=-1).mean(1) * 100.0)
+            .tolist())
+        rng = np.random.RandomState(seed + si)
+        tf = np.asarray(seq["temp_faces"])
+        sp = sample_surface(tv, tf, samples, rng)  # fixed template samples
+        sp_pred = np.einsum("vj,tij->tvi", sp, filled[keep])
+        sp_gt = np.einsum("vj,tij->tvi", sp,
+                          np.asarray(seq["obj_rot_gt"])[keep])
+        ch = np.asarray(chamfer_distance(
+            jnp.asarray(sp_pred.astype(np.float32)),
+            jnp.asarray(sp_gt.astype(np.float32)),
+            w1=0.5, w2=0.5)) * 100.0
+        chamf_all.extend(ch.tolist())
+    if not v2v_all:
+        return {}
+    return {"downstream_chamfer_cm": float(np.mean(chamf_all)),
+            "downstream_v2v_cm": float(np.mean(v2v_all))}

@@ -111,9 +111,17 @@ def train_loop(state, step_fn: Callable, train_loader: Iterable,
                val_loader: Iterable | None = None,
                val_loss_fn: Callable | None = None,
                cfg: LoopConfig = LoopConfig(),
-               to_device: Callable | None = None):
+               to_device: Callable | None = None,
+               downstream_fn: Callable | None = None,
+               select_on: str = "val_loss"):
     """Run the epoch loop. step_fn(state, batch) -> (state, loss, terms);
     val_loss_fn(state, batch) -> scalar. Returns the final state.
+
+    downstream_fn(state, step) -> {metric: float} runs a full downstream
+    task at every val point and logs its metrics (the
+    trainer_cinfiller.py:46-194 integration-eval-inside-training pattern);
+    set select_on to one of its keys to use it for best-model selection
+    instead of the val loss.
 
     Resumes automatically from the latest checkpoint in cfg.out_dir.
     """
@@ -128,17 +136,24 @@ def train_loop(state, step_fn: Callable, train_loader: Iterable,
         jax.config.update("jax_debug_nans", True)
 
     def run_val(state, step):
-        if val_loader is None or val_loss_fn is None:
-            return None
-        losses = []
-        for bi, batch in enumerate(val_loader):
-            if bi >= cfg.max_val_batches:
-                break
-            if to_device is not None:
-                batch = to_device(batch)
-            losses.append(float(val_loss_fn(state, batch)))
-        val = float(np.mean(losses)) if losses else float("nan")
-        logger.log(step, val_loss=val)
+        """Returns the best-model selection score (lower = better)."""
+        val = None
+        if val_loader is not None and val_loss_fn is not None:
+            losses = []
+            for bi, batch in enumerate(val_loader):
+                if bi >= cfg.max_val_batches:
+                    break
+                if to_device is not None:
+                    batch = to_device(batch)
+                losses.append(float(val_loss_fn(state, batch)))
+            val = float(np.mean(losses)) if losses else float("nan")
+            logger.log(step, val_loss=val)
+        if downstream_fn is not None:
+            metrics = downstream_fn(state, step) or {}
+            if metrics:
+                logger.log(step, **metrics)
+            if select_on != "val_loss":
+                return metrics.get(select_on, val)
         return val
 
     last_ck = time.time()
