@@ -63,11 +63,12 @@ def _make_fake_assets(root, rng, V=128):
             pickle.dump(dict(mean=np.zeros(45), precision=np.eye(45) * 0.1), f)
 
 
-def _make_fake_sequence(seq_dir, rng, T=4, img_hw=(96, 128)):
+def _make_fake_sequence(seq_dir, rng, T=4, img_hw=(96, 128), kid=1,
+                        cat="boxsmall", kinects=(0, 1, 2, 3)):
     from PIL import Image
     os.makedirs(seq_dir, exist_ok=True)
     with open(os.path.join(seq_dir, "info.json"), "w") as f:
-        json.dump(dict(cat="boxsmall", gender="male", kinects=[0, 1, 2, 3],
+        json.dump(dict(cat=cat, gender="male", kinects=list(kinects),
                        config=None, empty=None, intrinsic=None,
                        beta=[0.0] * 10), f)
     H, W = img_hw
@@ -75,19 +76,19 @@ def _make_fake_sequence(seq_dir, rng, T=4, img_hw=(96, 128)):
         fd = os.path.join(seq_dir, f"t{i:04d}.000")
         os.makedirs(fd, exist_ok=True)
         rgb = (rng.rand(H, W, 3) * 255).astype(np.uint8)
-        Image.fromarray(rgb).save(os.path.join(fd, "k1.color.jpg"))
+        Image.fromarray(rgb).save(os.path.join(fd, f"k{kid}.color.jpg"))
         pm = np.zeros((H, W), np.uint8)
         pm[H // 4:3 * H // 4, W // 4:W // 2] = 255
-        Image.fromarray(pm).save(os.path.join(fd, "k1.person_mask.png"))
+        Image.fromarray(pm).save(os.path.join(fd, f"k{kid}.person_mask.png"))
         om = np.zeros((H, W), np.uint8)
         om[H // 3:2 * H // 3, W // 2:3 * W // 4] = 255
-        Image.fromarray(om).save(os.path.join(fd, "k1.obj_rend_mask.png"))
+        Image.fromarray(om).save(os.path.join(fd, f"k{kid}.obj_rend_mask.png"))
         kpts = np.concatenate(
             [rng.rand(25, 1) * W, rng.rand(25, 1) * H,
              np.ones((25, 1))], -1)
-        with open(os.path.join(fd, "k1.color.json"), "w") as f:
+        with open(os.path.join(fd, f"k{kid}.color.json"), "w") as f:
             json.dump(dict(body_joints=kpts.reshape(-1).tolist()), f)
-        with open(os.path.join(fd, "k1.mocap.json"), "w") as f:
+        with open(os.path.join(fd, f"k{kid}.mocap.json"), "w") as f:
             json.dump(dict(pose=(rng.randn(72) * 0.1).tolist(),
                            betas=np.zeros(10).tolist()), f)
 
@@ -284,3 +285,113 @@ def test_real_track_neural_only(tmp_path, rng):
     assert np.asarray(d["neural_pca"]).shape == (3, 3, 3)
     assert np.asarray(d["neural_visibility"]).shape == (3,)
     assert np.isfinite(np.asarray(d["neural_trans"])).all()
+
+
+def test_intercap_camera_parity():
+    """intercap_camera must reproduce get_intercap_K (nr_utils.py:224-240)
+    and the tri-icap.json camera_params exactly."""
+    from vistracker_tpu.core.camera import intercap_camera
+    cam = intercap_camera(kid=0, crop_size=800)
+    # tri-icap.json camera_params (normalized by width 1920)
+    # (the json values are themselves rounded; compare at their precision)
+    assert abs(cam.fx - 0.4783633) < 1e-6
+    assert abs(cam.fy - 0.478352604) < 1e-6
+    assert abs(cam.cx - 0.498419) < 1e-6
+    assert abs(cam.cy - 0.28955) < 1e-5
+    assert cam.width == 1920 and cam.height == 1080
+    assert cam.crop_size == 800
+    # pixel-space projection: fx_px == the raw InterCap focal
+    assert abs(cam.fx_px - 918.457763671875) < 1e-3
+    pts = jnp.asarray([[[0.2, -0.1, 2.0]]])
+    pix = np.asarray(cam.project_screen(pts))[0, 0]
+    np.testing.assert_allclose(
+        pix, [918.457763671875 * 0.1 + 956.9661865234375,
+              918.4373779296875 * -0.05 + 555.944580078125], rtol=1e-5)
+    # each kid has distinct intrinsics
+    assert intercap_camera(kid=3).fx != cam.fx
+
+
+def test_icap_config_camera_from_json(tmp_path):
+    """camera_config_from_json maps tri-icap camera_params (chore.py:88-93
+    dispatch: camera_params present -> InterCap, absent -> BEHAVE)."""
+    from vistracker_tpu.config import camera_config_from_json
+    icap = dict(loadSize=800, camera_params=dict(
+        crop_size=800, fx=0.4783633, fy=0.478352604, cx=0.498419,
+        cy=0.28955, image_width=1920, image_height=1080))
+    cam = camera_config_from_json(icap)
+    assert cam.width == 1920 and cam.crop_size == 800
+    behave = dict(loadSize=1200)
+    cam2 = camera_config_from_json(behave)
+    assert cam2.width == 2048 and cam2.crop_size == 1200
+    assert abs(cam2.fx - 979.7844 / 2048.0) < 1e-9
+
+
+def test_real_track_intercap_pipeline(tmp_path, rng):
+    """Config-switched InterCap tracking: ICap sequence naming, kid 0,
+    InterCap camera, flat-template layout."""
+    from vistracker_tpu.cli.main import build_parser
+    from vistracker_tpu.cli.real_track import run_real_track
+    from vistracker_tpu.data.packed import load_packed_recon
+    from vistracker_tpu.cli.synthetic import box_mesh
+
+    seq = str(tmp_path / "ICapS01_sub01_obj01_Seg_0")
+    _make_fake_sequence(seq, rng, T=3, kid=0, cat="obj01",
+                        kinects=(0, 1, 2, 3, 4, 5))
+    assets = str(tmp_path / "assets")
+    _make_fake_assets(assets, rng)
+    smpl_pkl = str(tmp_path / "SMPLH_male.pkl")
+    _make_fake_smplh_pkl(smpl_pkl, rng)
+    obj_root = str(tmp_path / "objects")
+    os.makedirs(obj_root, exist_ok=True)
+    bv, bf = box_mesh()
+    # InterCap templates are flat files (behave/utils.py:126-139 layout)
+    save_ply(os.path.join(obj_root, "obj01.ply"),
+             bv + np.array([0.1, 0.0, 2.3], np.float32), bf)
+
+    args = build_parser().parse_args([
+        "track", "--seq", seq, "--out", str(tmp_path / "out"),
+        "--smpl-model", smpl_pkl, "--assets", assets,
+        "--objects-root", obj_root, "--sifnet-ckpt", "random",
+        "--infiller-ckpt", "random", "--tiny-nets",
+        "--dataset", "intercap", "--kid", "0",
+        "--chunk-size", "3", "--net-size", "32", "--crop-size", "96",
+        "--save-name", "icap"])
+    import functools
+    import vistracker_tpu.fit.smplt as smplt_mod
+    import vistracker_tpu.fit.joint as joint_mod
+    import vistracker_tpu.fit.generator as gen_mod
+    orig = (smplt_mod.SMPLTFitConfig, joint_mod.JointFitConfig,
+            gen_mod.GeneratorConfig)
+    cams_used = []
+    import vistracker_tpu.core.camera as cam_mod
+    orig_icap = cam_mod.intercap_camera
+
+    def rec_icap(**kw):
+        cam = orig_icap(**kw)
+        cams_used.append(cam)
+        return cam
+
+    try:
+        smplt_mod.SMPLTFitConfig = lambda *a, **k: orig[0](
+            global_iters=1, max_iters=1)
+        joint_mod.JointFitConfig = functools.partial(
+            orig[1], iter_betas=1, iter_pose=1, iter_kpts=1, smpl_max_iter=1,
+            iter_obj=1, iter_sil=1, joint_max_iter=1, sil_size=32,
+            sil_sigma=1 / 16.0)
+        gen_mod.GeneratorConfig = functools.partial(
+            orig[2], num_steps=2, num_rounds=1, samples_per_round=128,
+            num_points=32)
+        cam_mod.intercap_camera = rec_icap
+        outfile = run_real_track(args)
+    finally:
+        (smplt_mod.SMPLTFitConfig, joint_mod.JointFitConfig,
+         gen_mod.GeneratorConfig) = orig
+        cam_mod.intercap_camera = orig_icap
+
+    # the InterCap camera (kid 0) was selected by the config switch
+    assert len(cams_used) == 1 and cams_used[0].width == 1920
+    rec = load_packed_recon(outfile)
+    assert rec.num_frames == 3
+    assert np.isfinite(rec.poses).all()
+    assert np.isfinite(rec.obj_trans).all()
+    assert "obj01" in outfile

@@ -63,3 +63,48 @@ def test_checkerboard_ground():
     np.testing.assert_allclose(v[:, 1], 1.0)  # flat plane at y=1
     # disjoint tile sets
     assert not set(map(tuple, fw.tolist())) & set(map(tuple, fb.tolist()))
+
+
+def test_mp4_video_and_top_view(tmp_path, rng):
+    """mp4 output via cv2 (render_recon.py FFMPEG role) + top-down view
+    with checkerboard ground (render_recon.py:213-225)."""
+    from vistracker_tpu.render.viz import render_top_view, save_video
+    frames = rng.rand(3, 64, 64, 3).astype(np.float32)
+    out = save_video(frames, str(tmp_path / "vid.mp4"), fps=5)
+    assert out.endswith(".mp4") and os.path.getsize(out) > 100
+    import cv2
+    cap = cv2.VideoCapture(out)
+    assert cap.isOpened()
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 3
+    cap.release()
+
+    cam = PerspectiveCamera(crop_size=1200)
+    tri_v = np.array([[0, 0, 2.2], [0.3, 0, 2.2], [0, 0.3, 2.2]], np.float32)
+    tri_f = np.array([[0, 1, 2]], np.int32)
+    img = render_top_view([(tri_v, tri_f, (1.0, 0.2, 0.2))], cam, size=64)
+    assert img.shape == (64, 64, 3)
+    assert img.max() > 0.1  # ground visible from above
+
+
+def test_contact_spheres(rng):
+    """Per-part contact detection (nr_utils.py:get_contact_spheres): object
+    verts within thres of the SMPL surface yield one sphere per part."""
+    from vistracker_tpu.render.viz import contact_spheres, sphere_mesh
+    sv = rng.randn(100, 3).astype(np.float32)
+    labels = np.zeros(100, np.int32)
+    labels[50:] = 3
+    # object verts: two touching one smpl vert each + far-away rest
+    ov = np.concatenate([sv[10:11] + 0.01, sv[60:61] + 0.01,
+                         sv + np.array([50.0, 0, 0])], 0)
+    spheres = contact_spheres(sv, labels, ov, thres=0.04)
+    assert len(spheres) == 2  # parts 0 and 3
+    colors = {tuple(np.round(c, 2)) for c, _, _ in spheres}
+    assert len(colors) == 2
+    for _, v, f in spheres:
+        assert np.isfinite(v).all() and f.max() < len(v)
+    # no contact -> empty
+    assert contact_spheres(sv, labels, ov + 100.0, thres=0.04) == []
+    # sphere mesh is watertight-ish: all verts used
+    v, f = sphere_mesh((0, 0, 0), 0.1)
+    assert set(range(len(v))) == set(np.unique(f))
+    np.testing.assert_allclose(np.linalg.norm(v, axis=1), 0.1, atol=1e-5)

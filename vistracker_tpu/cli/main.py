@@ -341,6 +341,10 @@ def build_parser():
     tr.add_argument("--render", action="store_true",
                     help="write a GT|recon side-by-side GIF (stage 7 viz)")
     # real-data (BEHAVE layout) arguments
+    tr.add_argument("--dataset", choices=["behave", "intercap"],
+                    default="behave",
+                    help="camera model: BEHAVE Kinect (tri-vis-l2) or "
+                         "InterCap per-kid intrinsics (tri-icap)")
     tr.add_argument("--kid", type=int, default=1)
     tr.add_argument("--start", type=int, default=0)
     tr.add_argument("--end", type=int, default=None)
@@ -403,12 +407,23 @@ def build_parser():
     ti.add_argument("--frames", type=int, default=120)
     ti.add_argument("--lr", type=float, default=1e-4)
 
-    rd = sub.add_parser("render", help="side-by-side GIF of packed recon(s)")
+    rd = sub.add_parser("render",
+                        help="side-by-side video (gif/mp4) of packed "
+                             "recon(s), optional top view + contact spheres")
     rd.add_argument("--recon", required=True, help="packed recon pkl")
     rd.add_argument("--recon2", help="second recon (or GT pack) to compare")
     rd.add_argument("--template", required=True, help="object template ply")
     rd.add_argument("--smpl-model", required=True)
-    rd.add_argument("--out", default="render_out/side_by_side.gif")
+    rd.add_argument("--out", default="render_out/side_by_side.mp4",
+                    help=".mp4 -> FFMPEG video; other extensions -> GIF")
+    rd.add_argument("--top", action="store_true",
+                    help="also write a top-down view video with "
+                         "checkerboard ground (*_top.mp4)")
+    rd.add_argument("--contact-spheres", action="store_true",
+                    help="draw per-part human-object contact spheres")
+    rd.add_argument("--assets", default=os.environ.get(
+        "VISTRACKER_ASSETS", "assets"),
+        help="assets root (part labels for contact spheres)")
     rd.add_argument("--size", type=int, default=256)
     rd.add_argument("--fps", type=int, default=15)
     rd.add_argument("--max-frames", type=int, default=300)
@@ -664,7 +679,10 @@ def run_train_infiller(args):
 
 def run_render(args):
     """Side-by-side mesh rendering of packed reconstructions
-    (render/render_side_comp.py role, GIF output)."""
+    (render/render_side_comp.py + render_recon.py roles): GIF or mp4
+    output, optional top-down view with checkerboard ground
+    (render_recon.py:173-183, 213-225) and per-part contact spheres
+    (nr_utils.py:get_contact_spheres)."""
     import jax.numpy as jnp
     from ..core.smpl import load_smpl_pkl
     from ..core.camera import PerspectiveCamera
@@ -672,7 +690,7 @@ def run_render(args):
         gt_obj_verts, load_packed
     from ..utils.mesh import load_ply, decimate_faces
     from ..render.viz import (render_meshes_perspective, side_by_side,
-                              save_video)
+                              save_video, contact_spheres, render_top_view)
     from ..eval.evaluator import smpl_verts_from_packed
 
     model = load_smpl_pkl(args.smpl_model)
@@ -681,6 +699,12 @@ def run_render(args):
     temp_f = decimate_faces(temp_f, 2500)
     smpl_f = decimate_faces(model.faces, 4000)
     cam = PerspectiveCamera()
+    part_labels = None
+    if args.contact_spheres:
+        from ..core.landmarks import load_part_labels, part_labels_array
+        part_labels = np.asarray(part_labels_array(
+            load_part_labels(args.assets),
+            num_verts=model.v_template.shape[0]))
 
     def load_verts(path):
         d = load_packed(path)
@@ -700,14 +724,24 @@ def run_render(args):
     sv1, ov1 = load_verts(args.recon)
     T = min(len(sv1), args.max_frames)
 
-    def render_all(sv, ov, colors):
+    def frame_meshes(sv, ov, colors, i):
+        meshes = [(sv[i], smpl_f, colors[0]), (ov[i], temp_f, colors[1])]
+        if part_labels is not None:
+            for color, cv, cf in contact_spheres(sv[i], part_labels, ov[i]):
+                meshes.append((cv, cf, color))
+        return meshes
+
+    def render_all(sv, ov, colors, top=False):
         frames = []
         for i in range(T):
-            cc = np.asarray(cam.project_screen(
-                jnp.asarray(sv[i].mean(0, keepdims=True))[None]))[0, 0]
-            frames.append(render_meshes_perspective(
-                [(sv[i], smpl_f, colors[0]), (ov[i], temp_f, colors[1])],
-                cam, cc, size=args.size))
+            meshes = frame_meshes(sv, ov, colors, i)
+            if top:
+                frames.append(render_top_view(meshes, cam, size=args.size))
+            else:
+                cc = np.asarray(cam.project_screen(
+                    jnp.asarray(sv[i].mean(0, keepdims=True))[None]))[0, 0]
+                frames.append(render_meshes_perspective(
+                    meshes, cam, cc, size=args.size))
         return np.stack(frames)
 
     left = render_all(sv1, ov1, [(0.4, 0.6, 0.9), (0.9, 0.4, 0.4)])
@@ -718,7 +752,20 @@ def run_render(args):
     else:
         video = left
     out = save_video(video, args.out, args.fps)
-    print(out)
+    outputs = [out]
+    if args.top:
+        # companion top-view video (render_recon.py writes *_top.mp4)
+        stem, ext = os.path.splitext(args.out)
+        tleft = render_all(sv1, ov1, [(0.4, 0.6, 0.9), (0.9, 0.4, 0.4)],
+                           top=True)
+        if args.recon2:
+            tright = render_all(sv2, ov2, [(0.4, 0.8, 0.4), (0.9, 0.6, 0.2)],
+                                top=True)
+            tvideo = side_by_side(tleft, tright)
+        else:
+            tvideo = tleft
+        outputs.append(save_video(tvideo, f"{stem}_top{ext}", args.fps))
+    print("\n".join(outputs))
 
 
 def _eval_one(model, recon_path, gt_path, temp_v, temp_f, window, smpl_only):

@@ -81,7 +81,13 @@ def run_real_track(args):
     mean_hands = mean_hand_pose(args.assets)
     part_labels = part_labels_array(load_part_labels(args.assets),
                                     num_verts=smpl_model.v_template.shape[0])
-    cam = PerspectiveCamera(crop_size=args.crop_size)
+    if getattr(args, "dataset", "behave") == "intercap":
+        # tri-icap: per-kid InterCap intrinsics (nr_utils.py:224-240); the
+        # release config uses crop_size 800
+        from ..core.camera import intercap_camera
+        cam = intercap_camera(kid=kid, crop_size=args.crop_size)
+    else:
+        cam = PerspectiveCamera(crop_size=args.crop_size)
 
     obj_name = reader.seq_info.get_obj_name()
     temp_v, temp_f = load_template(args.objects_root, obj_name)

@@ -77,6 +77,20 @@ def infiller_config_from_json(cfg: dict) -> InfillerConfig:
     return InfillerConfig(**kw)
 
 
+def camera_config_from_json(cfg: dict):
+    """Build the camera from a reference config's camera_params (tri-icap)
+    or the BEHAVE Kinect defaults (chore.py:88-93)."""
+    from .core.camera import PerspectiveCamera
+    cp = cfg.get("camera_params")
+    if cp is None:
+        return PerspectiveCamera(crop_size=cfg.get("loadSize", 1200))
+    return PerspectiveCamera(
+        crop_size=cp.get("crop_size", cfg.get("loadSize", 800)),
+        fx=cp["fx"], fy=cp["fy"], cx=cp["cx"], cy=cp["cy"],
+        width=cp.get("image_width", 1920),
+        height=cp.get("image_height", 1080))
+
+
 def train_config_from_json(cfg: dict) -> TrainConfig:
     return TrainConfig(
         learning_rate=cfg.get("learning_rate", 1e-3),

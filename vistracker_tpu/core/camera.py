@@ -25,6 +25,27 @@ KINECT_FY = 979.840 / 2048.0
 KINECT_CX = 1018.952 / 2048.0
 KINECT_CY = 779.486 / 2048.0
 
+# InterCap dataset cameras (6 kinects, 1920x1080 — reference
+# render/nr_utils.py:224-240 get_intercap_K and config/tri-icap.json
+# camera_params, normalized by image width 1920).
+ICAP_SIZE = 1920
+ICAP_FOCALS = (
+    (918.457763671875, 918.4373779296875),
+    (915.29962158203125, 915.1966552734375),
+    (912.8626708984375, 912.67633056640625),
+    (909.82025146484375, 909.62469482421875),
+    (920.533447265625, 920.09722900390625),
+    (909.17633056640625, 909.23529052734375),
+)
+ICAP_CENTERS = (
+    (956.9661865234375, 555.944580078125),
+    (956.664306640625, 551.6165771484375),
+    (956.72003173828125, 554.2166748046875),
+    (957.6181640625, 554.60296630859375),
+    (958.4615478515625, 550.42987060546875),
+    (956.14801025390625, 555.01593017578125),
+)
+
 
 @dataclasses.dataclass(frozen=True)
 class PerspectiveCamera:
@@ -81,6 +102,20 @@ class PerspectiveCamera:
         pix = self.project_screen(points)
         nxy = self.normalize_crop(pix, crop_center)
         return jnp.concatenate([nxy, points[..., 2:3]], axis=-1)
+
+
+def intercap_camera(kid: int = 0, crop_size: int = 800) -> PerspectiveCamera:
+    """InterCap color camera for kinect `kid` (0..5).
+
+    Intrinsics from nr_utils.py:224-240; the release tri-icap.json uses
+    kid 0 with crop_size 800 (camera_params / loadSize)."""
+    assert 0 <= kid < 6, f"invalid InterCap kinect index {kid}"
+    fx, fy = ICAP_FOCALS[kid]
+    cx, cy = ICAP_CENTERS[kid]
+    return PerspectiveCamera(
+        crop_size=crop_size, fx=fx / ICAP_SIZE, fy=fy / ICAP_SIZE,
+        cx=cx / ICAP_SIZE, cy=cy / ICAP_SIZE,
+        width=ICAP_SIZE, height=1080)
 
 
 def triplane_project(points: jax.Array, body_center: jax.Array,

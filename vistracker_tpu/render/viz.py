@@ -132,11 +132,115 @@ def side_by_side(frames_left: np.ndarray, frames_right: np.ndarray) -> np.ndarra
 
 
 def save_video(frames: np.ndarray, path: str, fps: int = 15):
-    """Write (T, H, W, 3) float [0,1] frames as an animated GIF + PNGs."""
-    from PIL import Image
+    """Write (T, H, W, 3) float [0,1] frames. `.mp4` paths go through the
+    cv2 FFMPEG writer (render_recon.py:113-114 imageio/FFMPEG role); any
+    other extension writes an animated GIF via PIL."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    if path.lower().endswith(".mp4"):
+        import cv2
+        h, w = frames.shape[1:3]
+        writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                                 fps, (w, h))
+        assert writer.isOpened(), f"cv2 VideoWriter failed for {path}"
+        for f in frames:
+            rgb = (np.clip(f, 0, 1) * 255).astype(np.uint8)
+            writer.write(rgb[:, :, ::-1])  # cv2 wants BGR
+        writer.release()
+        return path
+    from PIL import Image
     imgs = [Image.fromarray((np.clip(f, 0, 1) * 255).astype(np.uint8))
             for f in frames]
     imgs[0].save(path, save_all=True, append_images=imgs[1:],
                  duration=int(1000 / fps), loop=0)
     return path
+
+
+# 14 SMPL-part colors for contact spheres (role of the reference's
+# parts_color.pkl / COLOR_REORDER table, nr_utils.py:67-96)
+PART_COLORS = np.array([
+    (0.90, 0.30, 0.30), (0.30, 0.90, 0.30), (0.30, 0.30, 0.90),
+    (0.90, 0.90, 0.30), (0.90, 0.30, 0.90), (0.30, 0.90, 0.90),
+    (0.95, 0.60, 0.20), (0.60, 0.20, 0.95), (0.20, 0.95, 0.60),
+    (0.70, 0.70, 0.70), (0.55, 0.35, 0.20), (0.95, 0.75, 0.75),
+    (0.45, 0.60, 0.30), (0.30, 0.45, 0.60)], np.float32)
+
+
+def sphere_mesh(center, radius: float, lat: int = 6, lon: int = 8):
+    """Small UV-sphere mesh (psbody Sphere.to_mesh role)."""
+    center = np.asarray(center, np.float32)
+    th = np.linspace(0, np.pi, lat + 1)[1:-1]
+    ph = np.linspace(0, 2 * np.pi, lon, endpoint=False)
+    ring = np.stack([np.outer(np.sin(th), np.cos(ph)),
+                     np.outer(np.sin(th), np.sin(ph)),
+                     np.outer(np.cos(th), np.ones(lon))], -1).reshape(-1, 3)
+    verts = np.concatenate([[[0, 0, 1.0]], ring, [[0, 0, -1.0]]], 0)
+    faces = []
+    for j in range(lon):  # top/bottom caps
+        faces.append([0, 1 + j, 1 + (j + 1) % lon])
+        base = 1 + (lat - 2) * lon
+        faces.append([len(verts) - 1, base + (j + 1) % lon, base + j])
+    for i in range(lat - 2):
+        for j in range(lon):
+            a = 1 + i * lon + j
+            b = 1 + i * lon + (j + 1) % lon
+            c, d = a + lon, b + lon
+            faces.extend([[a, b, c], [b, d, c]])
+    return (verts.astype(np.float32) * radius + center,
+            np.asarray(faces, np.int32))
+
+
+def contact_spheres(smpl_verts: np.ndarray, part_labels: np.ndarray,
+                    obj_verts: np.ndarray, thres: float = 0.04,
+                    radius: float = 0.08):
+    """Per-part contact spheres (nr_utils.py:get_contact_spheres): object
+    verts within `thres` of the SMPL surface, grouped by the nearest SMPL
+    vertex's part label; one sphere at each part's contact centroid.
+
+    Returns [(color (3,), verts, faces), ...] (empty if no contact)."""
+    from scipy.spatial import cKDTree
+    dist, idx = cKDTree(smpl_verts).query(obj_verts)
+    mask = dist < thres
+    if not mask.any():
+        return []
+    labels = np.asarray(part_labels)[idx[mask]]
+    cverts = obj_verts[mask]
+    out = []
+    for p in range(len(PART_COLORS)):
+        sel = labels == p
+        if sel.any():
+            v, f = sphere_mesh(cverts[sel].mean(0), radius)
+            out.append((PART_COLORS[p], v, f))
+    return out
+
+
+def look_at(eye, at, up=(0.0, -1.0, 0.0)):
+    """Camera-frame transform looking from eye to at (pytorch3d
+    look_at_view_transform convention used by render_recon.py:215:
+    world points map to camera frame via v @ R + T)."""
+    eye = np.asarray(eye, np.float32)
+    at = np.asarray(at, np.float32)
+    z = at - eye
+    z = z / max(np.linalg.norm(z), 1e-12)
+    x = np.cross(np.asarray(up, np.float32), z)
+    x = x / max(np.linalg.norm(x), 1e-12)
+    y = np.cross(z, x)
+    R = np.stack([x, y, z], 1)  # columns
+    T = -eye @ R
+    return R.astype(np.float32), T.astype(np.float32)
+
+
+def render_top_view(meshes, cam, size: int = 256,
+                    eye=(0.0, -1.8, 2.3), at=(0.0, 0.0, 2.2),
+                    ground_center=(0.0, 1.0, 2.5)):
+    """Top-down render (render_recon.py:213-225: look-at from above the
+    scene) with a checkerboard ground. meshes: [(verts, faces, color)]."""
+    R, T = look_at(eye, at)
+    gv, fw, fb = checkerboard_ground(center=ground_center)
+    all_meshes = list(meshes) + [(gv, fw, (0.85, 0.85, 0.85)),
+                                 (gv, fb, (0.35, 0.35, 0.35))]
+    moved = [(np.asarray(v, np.float32) @ R + T, f, c)
+             for v, f, c in all_meshes]
+    center_px = np.asarray(
+        cam.project_screen(jnp.asarray(np.asarray(at, np.float32) @ R + T)
+                           [None, None]))[0, 0]
+    return render_meshes_perspective(moved, cam, center_px, size=size)
