@@ -28,13 +28,24 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
 
 @pytest.fixture(scope="module")
 def ref_modules():
-    """Import the reference torch model modules with CPU/runtime shims."""
+    """Import the reference torch model modules with CPU/runtime shims.
+
+    Only stubs modules that are genuinely missing from this image, and
+    removes the stubs afterwards so later tests see the real ones."""
     import torch
     import torch.nn as tnn
     sys.path.insert(0, REF)
+    stubbed = []
     for name in ("skimage", "skimage.measure", "cv2", "yaml"):
-        sys.modules.setdefault(name, types.ModuleType(name))
-    sys.modules["skimage"].measure = sys.modules["skimage.measure"]
+        if name in sys.modules:
+            continue
+        try:
+            __import__(name)
+        except ImportError:
+            sys.modules[name] = types.ModuleType(name)
+            stubbed.append(name)
+    if "skimage" in stubbed:
+        sys.modules["skimage"].measure = sys.modules["skimage.measure"]
     orig_device, orig_cuda = torch.device, tnn.Module.cuda
 
     def fake_device(*a, **k):
@@ -56,6 +67,8 @@ def ref_modules():
         torch.device = orig_device
         tnn.Module.cuda = orig_cuda
         sys.path.remove(REF)
+        for name in stubbed:
+            sys.modules.pop(name, None)
 
 
 def _release_args():
