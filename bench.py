@@ -114,10 +114,12 @@ def bench_sifnet_and_stage6(jnp, jax, floor_s):
     params = model.init(jax.random.PRNGKey(0), images[:1], pts0[:1],
                         cc[:1], bc[:1])
 
-    @jax.jit
-    def encode_packed(params, images):
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("pack_tmpx",))
+    def encode_packed(params, images, pack_tmpx=True):
         return pack_cache(model.apply(params, images, method=SIFNet.encode),
-                          pack_tmpx=True)
+                          pack_tmpx=pack_tmpx)
 
     gen = make_generator(sifnet_query_fn(model), GeneratorConfig())
 
@@ -127,6 +129,7 @@ def bench_sifnet_and_stage6(jnp, jax, floor_s):
         _fetch(pc["object"]["centers"])
         return cache
 
+    print("[bench] stage4 compile...", file=sys.stderr, flush=True)
     cache = stage4(images, jax.random.PRNGKey(0))  # compile + warm
     t0 = time.perf_counter()
     cache = stage4(images, jax.random.PRNGKey(1))
@@ -162,10 +165,13 @@ def bench_sifnet_and_stage6(jnp, jax, floor_s):
     part_labels = jnp.asarray(rng.randint(0, 14, V).astype(np.int32))
     jcfg = JointFitConfig()  # full reference budget, no early stop
 
+    del cache, ptsq  # free the stage-4 HBM before the 32-frame cache
     images6 = jnp.asarray(rng.rand(B, H, H, 8).astype(np.float32))
     cc6 = jnp.tile(jnp.asarray([[1018.0, 779.0]]), (B, 1))
     bc6 = jnp.tile(jnp.asarray([[0.0, 0.0, 2.2]]), (B, 1))
-    cache6 = encode_packed(params, images6)
+    # half-res stem maps stay unpacked at B=32 (the real_track memory
+    # policy: packing them would put the cache at ~9 GB on a 16 GB chip)
+    cache6 = encode_packed(params, images6, pack_tmpx=False)
     ctx = dict(params=params, cache=cache6, cc=cc6, bc=bc6)
 
     def query_fn(ctx, points):
@@ -190,6 +196,7 @@ def bench_sifnet_and_stage6(jnp, jax, floor_s):
         [rng.rand(B, 25, 2).astype(np.float32) * 2 - 1,
          np.ones((B, 25, 1), np.float32)], -1))
 
+    print("[bench] stage6 smpl compile...", file=sys.stderr, flush=True)
     smpl_final, _ = opt_smpl(init, kpts, ctx)
     _fetch(smpl_final.trans)  # compile + warm
     t0 = time.perf_counter()
@@ -210,6 +217,7 @@ def bench_sifnet_and_stage6(jnp, jax, floor_s):
     t0v = jnp.asarray(np.tile([[0.1, 0.0, 2.3]], (B, 1)).astype(np.float32))
     occ = jnp.ones(B)
 
+    print("[bench] stage6 object compile...", file=sys.stderr, flush=True)
     r_fin, t_fin, _ = opt_obj(r0, t0v, jnp.ones(B), obj_pts_b, verts_f,
                               part_labels, occ, sil, obj_pts_b, sil_faces,
                               ctx)
@@ -225,6 +233,11 @@ def bench_sifnet_and_stage6(jnp, jax, floor_s):
     out["stage6_object_s_32frames"] = dt_obj
     out["stage6_joint_opt_frames_per_sec"] = B / (dt_smpl + dt_obj)
     return out
+
+
+def _log(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
 
 
 def main():
@@ -243,8 +256,11 @@ def main():
         float(_tiny(x))
     floor_s = (time.perf_counter() - t0) / 10
 
+    _log("smplt fit...")
     smplt_fps = bench_smplt(jnp, jax)
+    _log(f"smplt done: {smplt_fps:.1f} fps")
     comp = bench_sifnet_and_stage6(jnp, jax, floor_s)
+    _log("all stages done")
     comp["smplt_fit_frames_per_sec"] = smplt_fps
     comp["rpc_floor_ms"] = floor_s * 1000.0
 

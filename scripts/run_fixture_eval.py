@@ -1,0 +1,300 @@
+"""End-to-end accuracy evidence on the high-fidelity BEHAVE fixture.
+
+Generates a rendered BEHAVE-layout sequence (full Kinect pixel geometry,
+capsule-humanoid SMPL-H, occluding object orbit — data/fixture.py), trains
+all three model families on it (SIF-Net overfit on the sequence frames,
+SmoothNet-SMPL/objrot denoisers, HVOP-Net at the release clip config),
+tracks the sequence with the REAL pipeline (cli/real_track.py, full-budget
+optimizers, full-sequence temporal stages), evaluates against the GT pack
+with the windowed evaluator (W=1 CHORE protocol and whole-sequence align),
+and writes the metrics JSON.
+
+This is pipeline-accuracy evidence, not generalization evidence: the nets
+are trained on the same sequence they track (the fixture replaces the
+licensed BEHAVE data + released checkpoints, which cannot ship here).
+
+Usage: python scripts/run_fixture_eval.py --out fixture_run [--frames 90]
+"""
+import argparse
+import json
+import os
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+def log(msg):
+    print(f"[fixture {time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def build_training_frames(fx, model, landmarks, crop_size, net_size):
+    """Per-frame SIF-Net training dicts from the fixture GT."""
+    import jax.numpy as jnp
+    from vistracker_tpu.data.behave import FrameDataReader
+    from vistracker_tpu.data.images import prepare_input_crop
+    from vistracker_tpu.ops.rasterizer import render_triplane_masks
+    from vistracker_tpu.core.smpl import lbs_forward
+
+    reader = FrameDataReader(fx["seq_dir"])
+    T = len(reader)
+    verts, _, _, _ = lbs_forward(model, jnp.asarray(fx["poses"]),
+                                 jnp.asarray(fx["betas"]),
+                                 jnp.asarray(fx["trans"]))
+    verts = np.asarray(verts)
+    bc = np.asarray(landmarks.smpl_center(jnp.asarray(verts)))
+    smpl_faces = jnp.asarray(model.faces)
+    from vistracker_tpu.utils.mesh import load_ply
+    temp_v, temp_f = load_ply(osp.join(fx["objects_root"], "boxmedium",
+                                       "boxmedium.ply"))
+    temp_v = temp_v - temp_v.mean(0)
+    frames = []
+    for i in range(T):
+        rgb = reader.get_color(i, 1)
+        pm = reader.get_mask(i, 1, "person")
+        om = reader.get_mask(i, 1, "obj")
+        img5, cc = prepare_input_crop(rgb, pm, om, crop_size, net_size)
+        tri = np.asarray(render_triplane_masks(
+            jnp.asarray(verts[i]), smpl_faces, jnp.asarray(bc[i]), net_size))
+        ov = temp_v @ fx["rot_gt"][i].T + fx["obj_trans_gt"][i]
+        frames.append(dict(
+            image=np.concatenate([img5, tri], -1).astype(np.float32),
+            crop_center=cc.astype(np.float32),
+            body_center=bc[i].astype(np.float32),
+            smpl_verts=verts[i].astype(np.float32),
+            smpl_faces=np.asarray(model.faces),
+            obj_verts=ov.astype(np.float32),
+            obj_faces=temp_f,
+            visibility=float(fx["occ_ratios"][i])))
+    return frames, temp_v, temp_f
+
+
+def train_sifnet(frames, part_labels, out_dir, crop_size, net_size,
+                 epochs, samples, lr=1e-3):
+    import jax
+    import jax.numpy as jnp
+    from vistracker_tpu.models.sifnet import SIFNet, SIFNetConfig
+    from vistracker_tpu.core.camera import PerspectiveCamera
+    from vistracker_tpu.data.datasets import PrefetchLoader, sifnet_example
+    from vistracker_tpu.fit.train import (TrainConfig, init_train_state,
+                                          make_train_step)
+    from vistracker_tpu.fit.trainer_loop import LoopConfig, train_loop
+
+    # EXACTLY the --tiny-nets config real_track builds, so the orbax
+    # checkpoint loads into the tracking model unchanged
+    cfg = SIFNetConfig(num_stack=1, num_hourglass=1, hourglass_dim=32,
+                       tmpx_dim=32, triplane_stack=1, triplane_hg_dim=32,
+                       triplane_tmpx_dim=32, hidden_dim=16,
+                       crop_size=crop_size, remat=True)
+    model = SIFNet(cfg, PerspectiveCamera(crop_size=crop_size))
+
+    def example(i):
+        return sifnet_example(frames[i], part_labels, num_samples=samples,
+                              rng=np.random.RandomState(i * 7919 + 13))
+
+    loader = PrefetchLoader(example, len(frames), batch_size=4,
+                            num_workers=6)
+    tcfg = TrainConfig(learning_rate=lr)
+    to_dev = lambda b: {k: jnp.asarray(v) for k, v in b.items()}
+    state = init_train_state(model, jax.random.PRNGKey(0),
+                             to_dev(next(iter(loader))), tcfg)
+    step = make_train_step(model, tcfg)
+    lcfg = LoopConfig(num_epochs=epochs, out_dir=out_dir, ck_period_min=1e9,
+                      max_val_batches=4)
+
+    def val_fn(state, batch):
+        _, loss, _ = step(state, batch)
+        return loss
+
+    state = train_loop(state, step, loader, val_loader=loader,
+                       val_loss_fn=val_fn, cfg=lcfg, to_device=to_dev)
+    return out_dir
+
+
+def train_smoothnets(fx, out_smpl, out_rot, epochs=40, noise=0.03):
+    import jax
+    import jax.numpy as jnp
+    from vistracker_tpu.core.rotations import axis_angle_to_rot6d, \
+        rotmat_to_rot6d
+    from vistracker_tpu.data.datasets import PrefetchLoader
+    from vistracker_tpu.fit.trainer_loop import (LoopConfig, train_loop,
+                                                 make_smoothnet_train_step)
+    from vistracker_tpu.fit.smoothing import smplh_to_smpl_pose
+    from vistracker_tpu.models.smoothnet import SmoothNet, SmoothNetSMPL
+    from vistracker_tpu.ops.window_ops import seq_to_windows, pad_to_window
+
+    W = 64
+    rng = np.random.RandomState(0)
+    T = len(fx["poses"])
+    p72 = smplh_to_smpl_pose(fx["poses"])
+    rot6d = np.asarray(axis_angle_to_rot6d(
+        jnp.asarray(p72.reshape(-1, 3)))).reshape(T, 144)
+    feats = np.concatenate([rot6d, fx["betas"], fx["trans"]],
+                           1).astype(np.float32)
+    rot6d_obj = np.asarray(rotmat_to_rot6d(
+        jnp.asarray(fx["rot_gt"]))).astype(np.float32)
+
+    for gt_seq, model, out_dir, nz in (
+            (feats, SmoothNetSMPL(window_size=W, output_size=W), out_smpl,
+             noise),
+            (rot6d_obj, SmoothNet(window_size=W, output_size=W), out_rot,
+             noise)):
+        padded, _ = pad_to_window(gt_seq, W)
+        gt_w = np.asarray(seq_to_windows(jnp.asarray(padded), W, 1))
+        gt_w = gt_w.transpose(0, 2, 1)  # (N, C, W)
+        noisy = gt_w + rng.randn(*gt_w.shape).astype(np.float32) * nz
+
+        def example(i, noisy=noisy, gt_w=gt_w):
+            return dict(noisy=noisy[i], gt=gt_w[i])
+
+        loader = PrefetchLoader(example, len(gt_w), batch_size=8,
+                                num_workers=2)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1,) + gt_w.shape[1:]))
+        init_state, step_fn, val_fn = make_smoothnet_train_step(model, 1e-3)
+        state = init_state(params)
+        lcfg = LoopConfig(num_epochs=epochs, out_dir=out_dir,
+                          ck_period_min=1e9, max_val_batches=2)
+        to_dev = lambda b: {k: jnp.asarray(v) for k, v in b.items()}
+        train_loop(state, step_fn, loader, val_loader=loader,
+                   val_loss_fn=val_fn, cfg=lcfg, to_device=to_dev)
+    return out_smpl, out_rot
+
+
+def train_infiller(fx, out_dir, epochs=60):
+    import jax
+    import jax.numpy as jnp
+    from vistracker_tpu.data.datasets import PrefetchLoader, InfillerClips
+    from vistracker_tpu.fit.trainer_loop import (LoopConfig, train_loop,
+                                                 make_infiller_train_step)
+    from vistracker_tpu.models.infiller import (ConditionalMInfiller,
+                                                InfillerConfig)
+    # release config (clip 180, window 30) — the one real_track builds
+    cfg = InfillerConfig()
+    reps = int(np.ceil((cfg.clip_len + 40) / len(fx["poses"])))
+    seqs = [dict(
+        poses=np.tile(fx["poses"], (reps, 1)),
+        trans=np.tile(fx["trans"], (reps, 1)),
+        obj_rot_real=np.tile(fx["rot_gt"], (reps, 1, 1)))]
+    clips = InfillerClips(seqs, clip_len=cfg.clip_len)
+    model = ConditionalMInfiller(cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, cfg.clip_len, 147)),
+                        jnp.zeros((1, cfg.clip_len), bool),
+                        jnp.zeros((1, cfg.clip_len, 6)),
+                        jnp.zeros((1, cfg.clip_len), bool))
+    init_state, step_fn, val_fn = make_infiller_train_step(model, 1e-3)
+    state = init_state(params)
+    loader = PrefetchLoader(clips.example, len(clips), batch_size=8,
+                            num_workers=2)
+    lcfg = LoopConfig(num_epochs=epochs, out_dir=out_dir, ck_period_min=1e9,
+                      max_val_batches=2)
+    to_dev = lambda b: {k: jnp.asarray(v) for k, v in b.items()}
+    train_loop(state, step_fn, loader, val_loader=loader,
+               val_loss_fn=val_fn, cfg=lcfg, to_device=to_dev)
+    return out_dir
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="fixture_run")
+    ap.add_argument("--frames", type=int, default=90)
+    ap.add_argument("--raster", type=int, default=512)
+    ap.add_argument("--net-size", type=int, default=256)
+    ap.add_argument("--crop-size", type=int, default=1200)
+    ap.add_argument("--chunk-size", type=int, default=30)
+    ap.add_argument("--sif-epochs", type=int, default=30)
+    ap.add_argument("--sif-samples", type=int, default=2500)
+    ap.add_argument("--results", default="results/fixture_eval.json")
+    ap.add_argument("--skip-generate", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    from vistracker_tpu.data.fixture import generate_fixture_sequence
+    from vistracker_tpu.core.smpl import load_smpl_pkl
+    from vistracker_tpu.core.landmarks import (load_landmarks,
+                                               load_part_labels,
+                                               part_labels_array)
+
+    data_dir = osp.join(args.out, "data")
+    meta_path = osp.join(args.out, "fixture_meta.npz")
+    real_assets = ("/root/reference/assets"
+                   if osp.isdir("/root/reference/assets") else None)
+    if args.skip_generate and osp.isfile(meta_path):
+        m = np.load(meta_path)
+        fx = {k: m[k] for k in m.files}
+        fx.update(seq_dir=str(fx["seq_dir"]), gt_pack=str(fx["gt_pack"]),
+                  model_pkl=str(fx["model_pkl"]),
+                  objects_root=str(fx["objects_root"]),
+                  seq_name=str(fx["seq_name"]))
+    else:
+        log(f"generating fixture ({args.frames} frames)...")
+        fx = generate_fixture_sequence(data_dir, T=args.frames,
+                                       raster=args.raster,
+                                       real_assets=real_assets)
+        np.savez(meta_path, **fx)
+    assets = osp.join(data_dir, "assets")
+    model = load_smpl_pkl(fx["model_pkl"])
+    landmarks = load_landmarks(assets)
+    part_labels = np.asarray(part_labels_array(
+        load_part_labels(assets), num_verts=model.v_template.shape[0]))
+
+    log("building SIF-Net training frames...")
+    frames, temp_v, temp_f = build_training_frames(
+        fx, model, landmarks, args.crop_size, args.net_size)
+
+    log("training SIF-Net (overfit on the sequence)...")
+    sif_dir = train_sifnet(frames, part_labels, osp.join(args.out, "sifnet"),
+                           args.crop_size, args.net_size, args.sif_epochs,
+                           args.sif_samples)
+    log("training SmoothNets...")
+    sn_smpl, sn_rot = train_smoothnets(fx, osp.join(args.out, "sn_smpl"),
+                                       osp.join(args.out, "sn_rot"))
+    log("training HVOP-Net...")
+    inf_dir = train_infiller(fx, osp.join(args.out, "infiller"))
+
+    log("tracking with the real pipeline...")
+    from vistracker_tpu.cli.main import build_parser
+    from vistracker_tpu.cli.real_track import run_real_track
+    targs = build_parser().parse_args([
+        "track", "--seq", fx["seq_dir"], "--out",
+        osp.join(args.out, "recon"),
+        "--smpl-model", fx["model_pkl"], "--assets", assets,
+        "--objects-root", fx["objects_root"],
+        "--sifnet-ckpt", sif_dir, "--infiller-ckpt", inf_dir,
+        "--smoothnet-smpl-ckpt", sn_smpl, "--smoothnet-objrot-ckpt", sn_rot,
+        "--tiny-nets", "--chunk-size", str(args.chunk_size),
+        "--net-size", str(args.net_size),
+        "--crop-size", str(args.crop_size), "--save-name", "fixture",
+        "--redo"])
+    recon_pkl = run_real_track(targs)
+
+    log("evaluating vs GT...")
+    from vistracker_tpu.cli.main import _eval_one
+    from vistracker_tpu.eval.evaluator import format_errors
+    report = {"frames": int(args.frames),
+              "note": ("high-fidelity fixture (capsule-humanoid SMPL-H, "
+                       "rendered masks/keypoints at Kinect geometry); "
+                       "nets self-trained on the same sequence — pipeline "
+                       "accuracy evidence, not generalization")}
+    for wname, w in (("W1_chore_protocol", 1), ("W300_video_protocol", 300)):
+        errs = _eval_one(model, recon_pkl, fx["gt_pack"], temp_v, temp_f,
+                         window=w, smpl_only=False)
+        report[wname] = format_errors(errs)
+    os.makedirs(osp.dirname(args.results) or ".", exist_ok=True)
+    with open(args.results, "w") as f:
+        json.dump(report, f, indent=2)
+    log(f"wrote {args.results}")
+    print(json.dumps({k: v for k, v in report["W1_chore_protocol"].items()
+                      if k in ("smpl_v2v", "obj_v2v")}, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -126,6 +126,15 @@ def run_real_track(args):
         sif_params = state["params"] if "params" in state else state
     else:
         sif_params = TI.sifnet_params(args.sifnet_ckpt, sif_cfg)
+    def _orbax_params(path):
+        """Load params from an orbax experiment dir written by our trainer
+        (fit/trainer_loop.py CheckpointIO layout)."""
+        from ..fit.trainer_loop import CheckpointIO
+        state, _ = CheckpointIO(path).restore_latest(None)
+        if state is None:
+            raise SystemExit(f"no orbax checkpoint under {path}")
+        return state["params"] if "params" in state else state
+
     inf_cfg = InfillerConfig()
     infiller = ConditionalMInfiller(inf_cfg)
     if args.infiller_ckpt == "random":
@@ -135,6 +144,9 @@ def run_real_track(args):
             jax.random.PRNGKey(1), _j.zeros((1, L, 147)),
             _j.zeros((1, L), bool), _j.zeros((1, L, 6)),
             _j.zeros((1, L), bool))
+    elif os.path.isdir(args.infiller_ckpt) \
+            and not TI.is_torch_experiment_dir(args.infiller_ckpt):
+        inf_params = _orbax_params(args.infiller_ckpt)
     else:
         inf_params = TI.infiller_params(args.infiller_ckpt, inf_cfg)
     W = 64
@@ -147,6 +159,8 @@ def run_real_track(args):
                      else SmoothNet(window_size=W, output_size=W))
             return model.init(jax.random.PRNGKey(7),
                               jnp.zeros((1, 157 if smpl else 6, W)))
+        if os.path.isdir(ck) and not TI.is_torch_experiment_dir(ck):
+            return _orbax_params(ck)
         return TI.smoothnet_params(ck, smpl=smpl)
 
     sn_smpl_params = _sn_params(args.smoothnet_smpl_ckpt, smpl=True)

@@ -48,10 +48,12 @@ def checkpoint_name(training_time: float) -> str:
 
 def is_torch_experiment_dir(path: str) -> bool:
     """Does `path` look like a released torch experiment folder (vs e.g. an
-    orbax checkpoint dir from our own trainer)?"""
+    orbax checkpoint dir from our own trainer)?
+
+    best_model.json alone is NOT a discriminator — our trainer_loop writes
+    one too; the torch layout is identified by its checkpoint artifacts."""
     return bool(
         glob.glob(os.path.join(path, "val_min=*"))
-        or os.path.isfile(os.path.join(path, "best_model.json"))
         or glob.glob(os.path.join(path, "checkpoints", "*.tar"))
         or os.path.isfile(os.path.join(path, "checkpoint.pth.tar")))
 
