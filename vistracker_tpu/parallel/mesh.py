@@ -24,14 +24,32 @@ def init_multihost():
     """Initialize multi-host JAX if a coordinator is configured.
 
     The reference discovers ranks from env:// or SLURM variables
-    (utils/dist_utils.py:12-33); jax.distributed.initialize() reads the
-    same class of environment (COORDINATOR_ADDRESS / SLURM / TPU metadata)
-    and wires the DCN mesh axis. No-op on a single host.
-    """
+    (utils/dist_utils.py:12-33); the same class of environment drives this:
+    COORDINATOR_ADDRESS (+ NUM_PROCESSES / PROCESS_ID for explicit env://
+    -style wiring, matching torch's MASTER_ADDR/RANK/WORLD_SIZE trio) or
+    SLURM/TPU-metadata auto-detection. No-op on a single host. Exercised by
+    a real 2-process test (tests/test_multihost.py)."""
     import os
-    if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get("SLURM_NTASKS"):
+    if os.environ.get("COORDINATOR_ADDRESS"):
+        kw = {}
+        if "NUM_PROCESSES" in os.environ:
+            kw["num_processes"] = int(os.environ["NUM_PROCESSES"])
+        if "PROCESS_ID" in os.environ:
+            kw["process_id"] = int(os.environ["PROCESS_ID"])
+        jax.distributed.initialize(
+            coordinator_address=os.environ["COORDINATOR_ADDRESS"], **kw)
+    elif os.environ.get("SLURM_NTASKS"):
         jax.distributed.initialize()
     return jax.process_index(), jax.process_count()
+
+
+def global_shard_leading(mesh: Mesh, arr: np.ndarray, axis: str = "data"):
+    """Build a GLOBAL sharded array from a host-replicated numpy array in a
+    multi-process program: each process materializes only the shards its
+    local devices own (the DistributedSampler analog, base_data.py:74-94)."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "frames") -> Mesh:
