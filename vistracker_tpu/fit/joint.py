@@ -88,6 +88,11 @@ class JointFitConfig:
     z0: float = 2.2
     obj_scale: float = 1.0
     sil_size: int = 256
+    # fixed sigma (~1 px at sil_size). Measured basin (PERF_NOTES round 2):
+    # the min-edge-LINE sigmoid has long-range gradients (edge lines extend
+    # beyond the triangle), recovering inits ~2 object radii off — a
+    # coarse-to-fine sigma anneal was tried and measured WORSE (blurred
+    # render vs sharp reference corrupts the landscape), so none is used.
     sil_sigma: float = 1.0 / 128.0
     # faces per rasterizer scan step: the (B, chunk, 3, size^2) edge tensor
     # must fit HBM through the (rematted) backward; 32 keeps it < 1 GB at
@@ -415,15 +420,16 @@ def make_object_optimizer(query_fn, project_px,
         return sums.sum() / jnp.maximum(counts.sum(), 1)
 
     def sil_loss(ctx, obj_r, obj_t, obj_s, sil: SilRefs, sil_verts,
-                 sil_faces, occ):
+                 sil_faces, occ, sigma=None):
         """Occlusion-aware ROI silhouette L2 (SilLossROI.forward)."""
         verts = transform_obj_verts(sil_verts, obj_r, obj_t, obj_s)
         px = project_px(ctx, verts)  # (B, V, 2) original-image pixels
+        sigma = cfg.sil_sigma if sigma is None else sigma
 
         def one(p, roi):
             ndc = 2.0 * (p - roi[None, :2]) / roi[2] - 1.0
             return soft_silhouette(ndc, sil_faces, cfg.sil_size,
-                                   cfg.sil_sigma, chunk=cfg.sil_face_chunk)
+                                   sigma, chunk=cfg.sil_face_chunk)
 
         imgs = jax.vmap(one)(px, sil.roi_xyb)
         imgs = imgs * sil.keep_mask
