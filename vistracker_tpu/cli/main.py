@@ -446,6 +446,7 @@ def build_parser():
     ev.add_argument("--smpl-only", action="store_true",
                     help="align on SMPL verts only")
     ev.add_argument("--out", default="results")
+    ev.add_argument("--cpu", action="store_true")
     return p
 
 
