@@ -383,6 +383,37 @@ def build_parser():
     ts.add_argument("--image-size", type=int, default=32)
     ts.add_argument("--samples", type=int, default=512)
     ts.add_argument("--lr", type=float, default=1e-3)
+    ts.add_argument("--offline-data", default=None,
+                    help="directory of precomputed boundary npz files "
+                         "(the offline BehaveDataset path, train_data.py)")
+    ts.add_argument("--crop-size", type=int, default=1200)
+    ts.add_argument("--variant", default="chore-triplane-vis",
+                    choices=["chore", "chore-triplane", "chore-triplane-vis"])
+    ts.add_argument("--load-triplane", action="store_true",
+                    help="concat the .smpl_triplane.png channels "
+                         "(offline mode, train_data.py:76-79)")
+    ts.add_argument("--random-flip", action="store_true",
+                    help="random horizontal flip loading _flip.npz labels")
+
+    bs = sub.add_parser("boundary-sample",
+                        help="precompute per-frame boundary-sample npz "
+                             "files from a GT-packed sequence "
+                             "(preprocess/boundary_sampler.py)")
+    bs.add_argument("--seq", required=True, help="BEHAVE-layout seq dir")
+    bs.add_argument("--gt-pack", required=True, help="GT packed pkl")
+    bs.add_argument("--smpl-model", required=True)
+    bs.add_argument("--assets", required=True)
+    bs.add_argument("--objects-root", required=True)
+    bs.add_argument("--out", required=True, help="output npz directory")
+    bs.add_argument("--kid", type=int, default=1)
+    bs.add_argument("--samples", type=int, default=20000)
+    bs.add_argument("--grid-ratio", type=float, default=1.0 / 16.0)
+    bs.add_argument("--flip", action="store_true",
+                    help="also write the _flip.npz part-label variants")
+    bs.add_argument("--neighbours", action="store_true",
+                    help="store closest-surface-point labels")
+    bs.add_argument("--end", type=int, default=None)
+    bs.add_argument("--redo", action="store_true")
 
     tsm = sub.add_parser("train-smoothnet",
                          help="train SmoothNet (smpl or objrot variant)")
@@ -466,55 +497,80 @@ def run_train_sifnet(args):
     from ..models.sifnet import SIFNet, SIFNetConfig
     from ..ops.rasterizer import rasterize_mask, render_triplane_masks
 
-    if not args.synthetic:
-        raise SystemExit("real-data training needs BEHAVE; use --synthetic")
-    scene = make_scene(args.frames, num_verts=128, seed=0)
-    cam = PerspectiveCamera(crop_size=1200)
-    T, S = args.frames, args.image_size
+    if args.offline_data:
+        # offline precomputed-npz path (train_data.py:BehaveDataset):
+        # per-sigma subsampling from boundary npz files + image crops
+        import glob
+        from ..data.offline import offline_example
+        files = sorted(f for f in glob.glob(
+            os.path.join(args.offline_data, "*.npz"))
+            if not f.endswith("_flip.npz"))
+        if not files:
+            raise SystemExit(f"no npz files under {args.offline_data}")
+        cam = PerspectiveCamera(crop_size=args.crop_size)
+        T = len(files)
 
-    verts, _, _, _ = lbs_forward(scene.model, jnp.asarray(scene.poses_gt),
-                                 jnp.asarray(scene.betas_gt),
-                                 jnp.asarray(scene.trans_gt))
-    bc = scene.landmarks.smpl_center(verts)
-    cc = np.asarray(cam.project_screen(bc[:, None, :]))[:, 0]
-    smpl_faces = jnp.asarray(scene.smpl_faces[:256])
-    obj_world = recon_obj_verts(scene.temp_verts, scene.obj_rot_gt,
-                                scene.obj_trans_gt, np.ones(T))
+        def example(i):
+            rng = np.random.RandomState(i * 9973 + 7)
+            flip = bool(args.random_flip and rng.rand() > 0.5)
+            return offline_example(files[i], total_samples=args.samples,
+                                   crop_size=args.crop_size,
+                                   net_size=args.image_size,
+                                   load_triplane=args.load_triplane,
+                                   flip=flip, rng=rng)
+    elif not args.synthetic:
+        raise SystemExit("training needs --synthetic or --offline-data")
+    else:
+        cam = PerspectiveCamera(crop_size=1200)
+        scene = make_scene(args.frames, num_verts=128, seed=0)
+        T, S = args.frames, args.image_size
 
-    frames = []
-    for i in range(T):
-        ndc_s = np.asarray(cam.project_points(
-            verts[i:i + 1], jnp.asarray(cc[i:i + 1])))[0, :, :2]
-        ndc_o = np.asarray(cam.project_points(
-            jnp.asarray(obj_world[i:i + 1]), jnp.asarray(cc[i:i + 1])))[0, :, :2]
-        pm = np.asarray(rasterize_mask(jnp.asarray(ndc_s), smpl_faces, S))
-        om = np.asarray(rasterize_mask(jnp.asarray(ndc_o),
-                                       jnp.asarray(scene.temp_faces), S))
-        tri = np.asarray(render_triplane_masks(verts[i], smpl_faces,
-                                               bc[i], S))
-        rgb = np.repeat(pm[..., None], 3, -1) * 0.5 \
-            + np.repeat(om[..., None], 3, -1) * 0.3
-        image = np.concatenate([rgb, pm[..., None], om[..., None], tri],
-                               -1).astype(np.float32)
-        frames.append(dict(
-            image=image, crop_center=cc[i].astype(np.float32),
-            body_center=np.asarray(bc[i], np.float32),
-            smpl_verts=np.asarray(verts[i]), smpl_faces=scene.smpl_faces,
-            obj_verts=obj_world[i].astype(np.float32),
-            obj_faces=scene.temp_faces,
-            visibility=float(scene.occ_ratios[i])))
+        verts, _, _, _ = lbs_forward(scene.model, jnp.asarray(scene.poses_gt),
+                                     jnp.asarray(scene.betas_gt),
+                                     jnp.asarray(scene.trans_gt))
+        bc = scene.landmarks.smpl_center(verts)
+        cc = np.asarray(cam.project_screen(bc[:, None, :]))[:, 0]
+        smpl_faces = jnp.asarray(scene.smpl_faces[:256])
+        obj_world = recon_obj_verts(scene.temp_verts, scene.obj_rot_gt,
+                                    scene.obj_trans_gt, np.ones(T))
 
-    def example(i):
-        return sifnet_example(frames[i], scene.part_labels,
-                              num_samples=args.samples,
-                              rng=np.random.RandomState(i))
+        frames = []
+        for i in range(T):
+            ndc_s = np.asarray(cam.project_points(
+                verts[i:i + 1], jnp.asarray(cc[i:i + 1])))[0, :, :2]
+            ndc_o = np.asarray(cam.project_points(
+                jnp.asarray(obj_world[i:i + 1]), jnp.asarray(cc[i:i + 1])))[0, :, :2]
+            pm = np.asarray(rasterize_mask(jnp.asarray(ndc_s), smpl_faces, S))
+            om = np.asarray(rasterize_mask(jnp.asarray(ndc_o),
+                                           jnp.asarray(scene.temp_faces), S))
+            tri = np.asarray(render_triplane_masks(verts[i], smpl_faces,
+                                                   bc[i], S))
+            rgb = np.repeat(pm[..., None], 3, -1) * 0.5 \
+                + np.repeat(om[..., None], 3, -1) * 0.3
+            image = np.concatenate([rgb, pm[..., None], om[..., None], tri],
+                                   -1).astype(np.float32)
+            frames.append(dict(
+                image=image, crop_center=cc[i].astype(np.float32),
+                body_center=np.asarray(bc[i], np.float32),
+                smpl_verts=np.asarray(verts[i]), smpl_faces=scene.smpl_faces,
+                obj_verts=obj_world[i].astype(np.float32),
+                obj_faces=scene.temp_faces,
+                visibility=float(scene.occ_ratios[i])))
+
+        def example(i):
+            return sifnet_example(frames[i], scene.part_labels,
+                                  num_samples=args.samples,
+                                  rng=np.random.RandomState(i))
 
     loader = PrefetchLoader(example, T, args.batch_size, num_workers=2)
     # remat measured FASTER than storing activations at training sizes
     # (12 vs 21 ms/step at bs 8, 512^2 — PERF_NOTES.md)
-    cfg = SIFNetConfig(num_stack=1, num_hourglass=1, hourglass_dim=32,
+    cfg = SIFNetConfig(variant=getattr(args, "variant",
+                                       "chore-triplane-vis"),
+                       num_stack=1, num_hourglass=1, hourglass_dim=32,
                        tmpx_dim=32, triplane_stack=1, triplane_hg_dim=32,
-                       triplane_tmpx_dim=32, hidden_dim=16, remat=True)
+                       triplane_tmpx_dim=32, hidden_dim=16, remat=True,
+                       crop_size=getattr(args, "crop_size", 1200))
     model = SIFNet(cfg, cam)
     tcfg = TrainConfig(learning_rate=args.lr)
     # data-parallel over all local devices: shard the batch, replicate
@@ -548,6 +604,66 @@ def run_train_sifnet(args):
                        val_loss_fn=val_fn, cfg=lcfg, to_device=to_dev)
     print(json.dumps({"out": args.out,
                       "steps": int(np.asarray(state.step))}))
+
+
+def run_boundary_sample(args):
+    """Precompute per-frame boundary-sample npz files from a GT-packed
+    sequence — the producer for `train-sifnet --offline-data`
+    (preprocess/boundary_sampler.py driver; schema boundary_sample_all)."""
+    import jax.numpy as jnp
+    from ..core.smpl import load_smpl_pkl, lbs_forward
+    from ..core.landmarks import (load_landmarks, load_part_labels,
+                                  part_labels_array)
+    from ..data.behave import FrameDataReader, SeqInfo, load_template
+    from ..data.offline import save_boundary_npz
+    from ..data.packed import gt_obj_verts, load_packed, recon_obj_verts
+
+    os.makedirs(args.out, exist_ok=True)
+    model = load_smpl_pkl(args.smpl_model)
+    landmarks = load_landmarks(args.assets)
+    part_labels = part_labels_array(load_part_labels(args.assets),
+                                    num_verts=model.v_template.shape[0])
+    reader = FrameDataReader(args.seq)
+    info = SeqInfo(args.seq)
+    temp_v, temp_f = load_template(args.objects_root, info.get_obj_name())
+
+    gt = load_packed(args.gt_pack)
+    T = len(gt["poses"])
+    if args.end is not None:
+        T = min(T, args.end)
+    poses = np.asarray(gt["poses"]).reshape(len(gt["poses"]), -1)[:T]
+    verts, _, _, _ = lbs_forward(model, jnp.asarray(poses),
+                                 jnp.asarray(np.asarray(gt["betas"])[:T]),
+                                 jnp.asarray(np.asarray(gt["trans"])[:T]))
+    verts = np.asarray(verts)
+    body_kpts = np.asarray(landmarks.body_joints(jnp.asarray(verts)))
+    centers = body_kpts[:, 8]  # smpl center = body25 joint 8
+    ga = np.asarray(gt["obj_angles"])[:T]
+    if ga.ndim == 2:  # GT packs store axis-angle
+        overts = gt_obj_verts(temp_v, ga, np.asarray(gt["obj_trans"])[:T])
+    else:
+        overts = recon_obj_verts(temp_v, ga, np.asarray(gt["obj_trans"])[:T],
+                                 np.ones(T))
+
+    smpl_faces = np.asarray(model.faces)
+    written = 0
+    for i in range(T):
+        out = os.path.join(args.out, f"{reader.frames[i]}_k{args.kid}.npz")
+        if os.path.isfile(out) and not args.redo:
+            continue  # is_done resume semantics
+        kw = dict(smpl_verts=verts[i], smpl_faces=smpl_faces,
+                  obj_verts=overts[i], obj_faces=temp_f,
+                  part_labels=part_labels, body_center=centers[i],
+                  body_kpts=body_kpts[i],
+                  image_file=reader.get_color_file(i, args.kid),
+                  sample_num=args.samples, grid_ratio=args.grid_ratio,
+                  add_neighbours=args.neighbours)
+        save_boundary_npz(out, rng=np.random.RandomState(i * 31 + 7), **kw)
+        if args.flip:
+            save_boundary_npz(out.replace(".npz", "_flip.npz"), flip=True,
+                              rng=np.random.RandomState(i * 31 + 7), **kw)
+        written += 1
+    print(json.dumps({"out": args.out, "frames": T, "written": written}))
 
 
 def run_train_smoothnet(args):
@@ -846,6 +962,8 @@ def main(argv=None):
             run_real_track(args)
     elif args.cmd == "train-sifnet":
         run_train_sifnet(args)
+    elif args.cmd == "boundary-sample":
+        run_boundary_sample(args)
     elif args.cmd == "train-smoothnet":
         run_train_smoothnet(args)
     elif args.cmd == "train-infiller":

@@ -40,6 +40,42 @@ SMPL_POSE_DIM = 72
 SMPLH_POSE_DIM = 156
 
 
+class StaticArray(np.ndarray):
+    """Read-only ndarray with value-based __eq__/__hash__ so it can live in
+    a STATIC (metadata) field of a registered pytree dataclass: jit hashes
+    and equality-compares treedef metadata when looking up its compile
+    cache, and a bare ndarray there raises ("arrays cannot be passed as
+    metadata fields"). Behaves as a normal ndarray everywhere else
+    (indexing, len, np.asarray/jnp.asarray)."""
+
+    def __new__(cls, arr):
+        a = np.asarray(arr).view(cls)
+        a.setflags(write=False)
+        return a
+
+    def __eq__(self, other):
+        if other is self:
+            return True
+        if not isinstance(other, np.ndarray):
+            return NotImplemented
+        return bool(np.array_equal(self.view(np.ndarray),
+                                   np.asarray(other).view(np.ndarray)))
+
+    def __ne__(self, other):
+        eq = self.__eq__(other)
+        return eq if eq is NotImplemented else not eq
+
+    def __hash__(self):
+        h = getattr(self, "_vt_hash", None)
+        if h is None:
+            h = hash((self.shape, str(self.dtype), self.tobytes()))
+            try:
+                object.__setattr__(self, "_vt_hash", h)
+            except AttributeError:
+                pass
+        return h
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SMPLModel:
@@ -53,6 +89,15 @@ class SMPLModel:
     parents: tuple = dataclasses.field(metadata=dict(static=True))
     faces: Any = dataclasses.field(metadata=dict(static=True))  # np (F, 3) int32
     gender: str = dataclasses.field(default="neutral", metadata=dict(static=True))
+
+    def __post_init__(self):
+        # static metadata must be hashable with simple equality; wrap the
+        # face array regardless of construction site
+        if not isinstance(self.faces, StaticArray):
+            object.__setattr__(self, "faces", StaticArray(self.faces))
+        if not isinstance(self.parents, tuple):
+            object.__setattr__(self, "parents",
+                               tuple(int(p) for p in self.parents))
 
     @property
     def num_joints(self) -> int:

@@ -72,7 +72,10 @@ def make_train_step(model: SIFNet, cfg: TrainConfig):
         gt = dict(df_h=batch["df_h"], df_o=batch["df_o"],
                   parts=batch["parts"], pca=batch["pca"],
                   obj_center=batch["obj_center"],
-                  visibility=batch["visibility"])
+                  visibility=batch["visibility"],
+                  # non-vis variants (6-ch center head) train the SMPL
+                  # center on channels 0:3 (chore.py:273-277)
+                  body_center=batch["body_center"])
         return sifnet_losses(preds, gt, cfg.loss_weights, cfg.max_dist)
 
     @jax.jit
