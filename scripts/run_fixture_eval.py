@@ -198,36 +198,14 @@ def train_infiller(fx, out_dir, epochs=60):
     return out_dir
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="fixture_run")
-    ap.add_argument("--frames", type=int, default=90)
-    ap.add_argument("--raster", type=int, default=512)
-    ap.add_argument("--net-size", type=int, default=256)
-    ap.add_argument("--crop-size", type=int, default=1200)
-    ap.add_argument("--chunk-size", type=int, default=30)
-    ap.add_argument("--sif-epochs", type=int, default=30)
-    ap.add_argument("--sif-samples", type=int, default=2500)
-    ap.add_argument("--results", default="results/fixture_eval.json")
-    ap.add_argument("--skip-generate", action="store_true")
-    ap.add_argument("--cpu", action="store_true")
-    args = ap.parse_args()
-    if args.cpu:
-        import jax
-        jax.config.update("jax_platforms", "cpu")
-
-    import jax.numpy as jnp
+def _load_fx(args):
+    """Load (or generate) the fixture and shared assets."""
     from vistracker_tpu.data.fixture import generate_fixture_sequence
-    from vistracker_tpu.core.smpl import load_smpl_pkl
-    from vistracker_tpu.core.landmarks import (load_landmarks,
-                                               load_part_labels,
-                                               part_labels_array)
-
     data_dir = osp.join(args.out, "data")
     meta_path = osp.join(args.out, "fixture_meta.npz")
     real_assets = ("/root/reference/assets"
                    if osp.isdir("/root/reference/assets") else None)
-    if args.skip_generate and osp.isfile(meta_path):
+    if osp.isfile(meta_path):
         m = np.load(meta_path)
         fx = {k: m[k] for k in m.files}
         fx.update(seq_dir=str(fx["seq_dir"]), gt_pack=str(fx["gt_pack"]),
@@ -240,60 +218,156 @@ def main():
                                        raster=args.raster,
                                        real_assets=real_assets)
         np.savez(meta_path, **fx)
-    assets = osp.join(data_dir, "assets")
+    return fx, osp.join(data_dir, "assets")
+
+
+def _done(path):
+    return osp.isfile(osp.join(path, "DONE"))
+
+
+def _mark_done(path):
+    with open(osp.join(path, "DONE"), "w") as f:
+        f.write("ok\n")
+
+
+def run_phase(args):
+    """One phase in this process. Phases run in SEPARATE subprocesses:
+    the axon TPU worker accumulates state across big compiled programs and
+    crashes when one process compiles too many (PERF_NOTES round 2; the
+    single-process version of this script died in stage 6 after training
+    all three model families)."""
+    from vistracker_tpu.core.smpl import load_smpl_pkl
+    from vistracker_tpu.core.landmarks import (load_landmarks,
+                                               load_part_labels,
+                                               part_labels_array)
+    fx, assets = _load_fx(args)
+    phase = args.phase
+    if phase == "generate":
+        return  # _load_fx did the work
+
     model = load_smpl_pkl(fx["model_pkl"])
-    landmarks = load_landmarks(assets)
-    part_labels = np.asarray(part_labels_array(
-        load_part_labels(assets), num_verts=model.v_template.shape[0]))
+    if phase == "train-sif":
+        out = osp.join(args.out, "sifnet")
+        if _done(out):
+            return log("train-sif already done")
+        landmarks = load_landmarks(assets)
+        part_labels = np.asarray(part_labels_array(
+            load_part_labels(assets), num_verts=model.v_template.shape[0]))
+        log("building SIF-Net training frames...")
+        frames, _, _ = build_training_frames(fx, model, landmarks,
+                                             args.crop_size, args.net_size)
+        log("training SIF-Net (overfit on the sequence)...")
+        train_sifnet(frames, part_labels, out, args.crop_size,
+                     args.net_size, args.sif_epochs, args.sif_samples)
+        return _mark_done(out)
+    if phase == "train-sn":
+        out_s, out_r = osp.join(args.out, "sn_smpl"), osp.join(args.out,
+                                                               "sn_rot")
+        if _done(out_s) and _done(out_r):
+            return log("train-sn already done")
+        log("training SmoothNets...")
+        train_smoothnets(fx, out_s, out_r)
+        _mark_done(out_s)
+        return _mark_done(out_r)
+    if phase == "train-inf":
+        out = osp.join(args.out, "infiller")
+        if _done(out):
+            return log("train-inf already done")
+        log("training HVOP-Net...")
+        train_infiller(fx, out)
+        return _mark_done(out)
+    if phase == "track":
+        log("tracking with the real pipeline...")
+        from vistracker_tpu.cli.main import build_parser
+        from vistracker_tpu.cli.real_track import run_real_track
+        targs = build_parser().parse_args([
+            "track", "--seq", fx["seq_dir"], "--out",
+            osp.join(args.out, "recon"),
+            "--smpl-model", fx["model_pkl"], "--assets", assets,
+            "--objects-root", fx["objects_root"],
+            "--sifnet-ckpt", osp.join(args.out, "sifnet"),
+            "--infiller-ckpt", osp.join(args.out, "infiller"),
+            "--smoothnet-smpl-ckpt", osp.join(args.out, "sn_smpl"),
+            "--smoothnet-objrot-ckpt", osp.join(args.out, "sn_rot"),
+            "--tiny-nets", "--chunk-size", str(args.chunk_size),
+            "--net-size", str(args.net_size),
+            "--crop-size", str(args.crop_size), "--save-name", "fixture"])
+        run_real_track(targs)  # is_done resume: skips if the pack exists
+        return
+    if phase == "eval":
+        log("evaluating vs GT...")
+        from vistracker_tpu.cli.main import _eval_one
+        from vistracker_tpu.eval.evaluator import format_errors
+        from vistracker_tpu.utils.mesh import load_ply
+        recon_pkl = osp.join(args.out, "recon", "recon_fixture",
+                             f"{fx['seq_name']}_k1.pkl")
+        temp_v, temp_f = load_ply(osp.join(fx["objects_root"], "boxmedium",
+                                           "boxmedium.ply"))
+        temp_v = temp_v - temp_v.mean(0)
+        report = {"frames": int(args.frames),
+                  "note": ("high-fidelity fixture (capsule-humanoid SMPL-H, "
+                           "rendered masks/keypoints at Kinect geometry); "
+                           "nets self-trained on the same sequence — "
+                           "pipeline accuracy evidence, not generalization")}
+        for wname, w in (("W1_chore_protocol", 1),
+                         ("W300_video_protocol", 300)):
+            errs = _eval_one(model, recon_pkl, fx["gt_pack"], temp_v,
+                             temp_f, window=w, smpl_only=False)
+            report[wname] = format_errors(errs)
+        os.makedirs(osp.dirname(args.results) or ".", exist_ok=True)
+        with open(args.results, "w") as f:
+            json.dump(report, f, indent=2)
+        log(f"wrote {args.results}")
+        print(json.dumps(
+            {k: v for k, v in report["W1_chore_protocol"].items()
+             if k in ("smpl_v2v", "obj_v2v")}, indent=1))
+        return
+    raise SystemExit(f"unknown phase {phase}")
 
-    log("building SIF-Net training frames...")
-    frames, temp_v, temp_f = build_training_frames(
-        fx, model, landmarks, args.crop_size, args.net_size)
 
-    log("training SIF-Net (overfit on the sequence)...")
-    sif_dir = train_sifnet(frames, part_labels, osp.join(args.out, "sifnet"),
-                           args.crop_size, args.net_size, args.sif_epochs,
-                           args.sif_samples)
-    log("training SmoothNets...")
-    sn_smpl, sn_rot = train_smoothnets(fx, osp.join(args.out, "sn_smpl"),
-                                       osp.join(args.out, "sn_rot"))
-    log("training HVOP-Net...")
-    inf_dir = train_infiller(fx, osp.join(args.out, "infiller"))
+PHASES = ("generate", "train-sif", "train-sn", "train-inf", "track", "eval")
 
-    log("tracking with the real pipeline...")
-    from vistracker_tpu.cli.main import build_parser
-    from vistracker_tpu.cli.real_track import run_real_track
-    targs = build_parser().parse_args([
-        "track", "--seq", fx["seq_dir"], "--out",
-        osp.join(args.out, "recon"),
-        "--smpl-model", fx["model_pkl"], "--assets", assets,
-        "--objects-root", fx["objects_root"],
-        "--sifnet-ckpt", sif_dir, "--infiller-ckpt", inf_dir,
-        "--smoothnet-smpl-ckpt", sn_smpl, "--smoothnet-objrot-ckpt", sn_rot,
-        "--tiny-nets", "--chunk-size", str(args.chunk_size),
-        "--net-size", str(args.net_size),
-        "--crop-size", str(args.crop_size), "--save-name", "fixture",
-        "--redo"])
-    recon_pkl = run_real_track(targs)
 
-    log("evaluating vs GT...")
-    from vistracker_tpu.cli.main import _eval_one
-    from vistracker_tpu.eval.evaluator import format_errors
-    report = {"frames": int(args.frames),
-              "note": ("high-fidelity fixture (capsule-humanoid SMPL-H, "
-                       "rendered masks/keypoints at Kinect geometry); "
-                       "nets self-trained on the same sequence — pipeline "
-                       "accuracy evidence, not generalization")}
-    for wname, w in (("W1_chore_protocol", 1), ("W300_video_protocol", 300)):
-        errs = _eval_one(model, recon_pkl, fx["gt_pack"], temp_v, temp_f,
-                         window=w, smpl_only=False)
-        report[wname] = format_errors(errs)
-    os.makedirs(osp.dirname(args.results) or ".", exist_ok=True)
-    with open(args.results, "w") as f:
-        json.dump(report, f, indent=2)
-    log(f"wrote {args.results}")
-    print(json.dumps({k: v for k, v in report["W1_chore_protocol"].items()
-                      if k in ("smpl_v2v", "obj_v2v")}, indent=1))
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="fixture_run")
+    ap.add_argument("--frames", type=int, default=90)
+    ap.add_argument("--raster", type=int, default=512)
+    ap.add_argument("--net-size", type=int, default=256)
+    ap.add_argument("--crop-size", type=int, default=1200)
+    ap.add_argument("--chunk-size", type=int, default=30)
+    ap.add_argument("--sif-epochs", type=int, default=30)
+    ap.add_argument("--sif-samples", type=int, default=2500)
+    ap.add_argument("--results", default="results/fixture_eval.json")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--phase", choices=PHASES, default=None)
+    ap.add_argument("--single-process", action="store_true",
+                    help="run all phases in this process (CPU/tests)")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.phase:
+        return run_phase(args)
+    if args.single_process:
+        for ph in PHASES:
+            args.phase = ph
+            run_phase(args)
+        return
+    import subprocess
+    base = [sys.executable, osp.abspath(__file__)]
+    fwd = []
+    for k in ("out", "frames", "raster", "net_size", "crop_size",
+              "chunk_size", "sif_epochs", "sif_samples", "results"):
+        fwd += ["--" + k.replace("_", "-"), str(getattr(args, k))]
+    if args.cpu:
+        fwd.append("--cpu")
+    for ph in PHASES:
+        log(f"=== phase {ph} (subprocess) ===")
+        rc = subprocess.run(base + fwd + ["--phase", ph]).returncode
+        if rc != 0:
+            raise SystemExit(f"phase {ph} failed rc={rc}")
 
 
 if __name__ == "__main__":

@@ -395,3 +395,65 @@ def test_real_track_intercap_pipeline(tmp_path, rng):
     assert np.isfinite(rec.poses).all()
     assert np.isfinite(rec.obj_trans).all()
     assert "obj01" in outfile
+
+
+def test_real_track_shard_frames(tmp_path, rng):
+    """--shard-frames runs every heavy stage with the chunk's frame axis
+    sharded over the 8-device CPU mesh, including the pad-to-multiple path
+    (T=4 chunks pad to 8). Numeric parity of the sharded fit programs is
+    pinned separately by tests/test_sharding.py; this asserts the full
+    pipeline wiring executes and produces a sane pack."""
+    import functools
+    import jax
+    from vistracker_tpu.cli.main import build_parser
+    from vistracker_tpu.cli.real_track import run_real_track
+    from vistracker_tpu.data.packed import load_packed_recon
+    from vistracker_tpu.cli.synthetic import box_mesh
+
+    assert len(jax.devices()) == 8  # conftest forces the virtual mesh
+
+    seq = str(tmp_path / "Date09_Sub96_boxsmall")
+    _make_fake_sequence(seq, rng, T=4)
+    assets = str(tmp_path / "assets")
+    _make_fake_assets(assets, rng)
+    smpl_pkl = str(tmp_path / "SMPLH_male.pkl")
+    _make_fake_smplh_pkl(smpl_pkl, rng)
+    obj_root = str(tmp_path / "objects")
+    os.makedirs(os.path.join(obj_root, "boxsmall"), exist_ok=True)
+    bv, bf = box_mesh()
+    save_ply(os.path.join(obj_root, "boxsmall", "boxsmall.ply"),
+             bv + np.array([0.1, 0.0, 2.3], np.float32), bf)
+
+    args = build_parser().parse_args([
+        "track", "--seq", seq, "--out", str(tmp_path / "out"),
+        "--smpl-model", smpl_pkl, "--assets", assets,
+        "--objects-root", obj_root, "--sifnet-ckpt", "random",
+        "--infiller-ckpt", "random", "--tiny-nets", "--shard-frames",
+        "--chunk-size", "4", "--net-size", "32", "--crop-size", "96",
+        "--save-name", "sharded"])
+    import vistracker_tpu.fit.smplt as smplt_mod
+    import vistracker_tpu.fit.joint as joint_mod
+    import vistracker_tpu.fit.generator as gen_mod
+    orig = (smplt_mod.SMPLTFitConfig, joint_mod.JointFitConfig,
+            gen_mod.GeneratorConfig)
+    try:
+        smplt_mod.SMPLTFitConfig = lambda *a, **k: orig[0](
+            global_iters=1, max_iters=2)
+        joint_mod.JointFitConfig = functools.partial(
+            orig[1], iter_betas=1, iter_pose=1, iter_kpts=1, smpl_max_iter=1,
+            iter_obj=1, iter_sil=1, joint_max_iter=1, sil_size=32,
+            sil_sigma=1 / 16.0)
+        gen_mod.GeneratorConfig = functools.partial(
+            orig[2], num_steps=2, num_rounds=1, samples_per_round=256,
+            num_points=64)
+        outfile = run_real_track(args)
+    finally:
+        smplt_mod.SMPLTFitConfig, joint_mod.JointFitConfig, \
+            gen_mod.GeneratorConfig = orig
+
+    rec = load_packed_recon(outfile)
+    assert rec.num_frames == 4
+    assert np.isfinite(rec.poses).all()
+    assert np.isfinite(rec.obj_trans).all()
+    np.testing.assert_allclose(np.linalg.det(rec.obj_angles), 1.0,
+                               atol=1e-3)

@@ -349,6 +349,11 @@ def build_parser():
     tr.add_argument("--start", type=int, default=0)
     tr.add_argument("--end", type=int, default=None)
     tr.add_argument("--chunk-size", type=int, default=96)
+    tr.add_argument("--shard-frames", action="store_true",
+                    help="shard each chunk's frame axis over the device "
+                         "mesh (SPMD; pads the last chunk to a device "
+                         "multiple — pick --chunk-size divisible by the "
+                         "device count for zero padding)")
     tr.add_argument("--crop-size", type=int, default=1200)
     tr.add_argument("--net-size", type=int, default=512)
     tr.add_argument("--save-name", default="track")

@@ -203,6 +203,45 @@ def run_real_track(args):
     bounds = np.cumsum([0] + [len(c) for c in chunks])
     neural_only = bool(getattr(args, "neural_only", False))
 
+    # ---- frame-axis SPMD: shard each chunk's frame dimension over the
+    # device mesh (the TPU-native replacement for the reference's
+    # --start/--end cluster fan-out, README.md:52). Temporal-stencil halos
+    # become automatic collective permutes (tests/test_sharding.py asserts
+    # sharded == single-device for the fit programs).
+    n_dev = len(jax.devices())
+    shard = bool(getattr(args, "shard_frames", False)) and n_dev > 1
+    if shard:
+        from jax.sharding import NamedSharding, PartitionSpec
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh(axis="frames")
+        print(f"[vistracker] frame-axis sharding over {n_dev} devices")
+
+    def shard_chunk(tree, B):
+        """Pad every B-leading leaf to a device multiple (repeating the
+        last frame) and shard its frame axis; other leaves replicate.
+        Returns (device_tree, unpad_fn)."""
+        if not shard:
+            return tree, (lambda t: t)
+        Bp = -(-B // n_dev) * n_dev
+
+        def put(x):
+            x = jnp.asarray(x)
+            if x.ndim and x.shape[0] == B:
+                if Bp != B:
+                    x = jnp.concatenate(
+                        [x, jnp.broadcast_to(x[-1:], (Bp - B,)
+                                             + x.shape[1:])], 0)
+                return jax.device_put(
+                    x, NamedSharding(mesh, PartitionSpec("frames")))
+            return jax.device_put(x, NamedSharding(mesh, PartitionSpec()))
+
+        def unpad(t):
+            return jax.tree.map(
+                lambda y: y[:B] if getattr(y, "ndim", 0)
+                and y.shape[0] == Bp else y, t)
+
+        return jax.tree.map(put, tree), unpad
+
     def build_images(chunk, verts2_c, body_centers_c):
         """Stage-3 inputs for one chunk: 5ch crop stack + 3ch triplanes.
         Rebuilt from the readers on each pass — recomputing the crops +
@@ -269,8 +308,11 @@ def run_real_track(args):
                                                             np.float32),
                                                  fit_cfg),
                             mean_hands=mean_hands)
+        (kpts_d, init_d), unpad = shard_chunk(
+            (jnp.asarray(kpts_all[sl]), init), B)
         p1, _ = fit_smplt(smpl_model, landmarks, body_prior, hand_prior,
-                          jnp.asarray(kpts_all[sl]), init, fit_cfg)
+                          kpts_d, init_d, fit_cfg)
+        p1 = unpad(p1)
         p1_pose[sl] = np.asarray(p1.pose)
         p1_betas[sl] = np.asarray(p1.betas)
         p1_trans[sl] = np.asarray(p1.trans)
@@ -291,9 +333,12 @@ def run_real_track(args):
             sl = slice(bounds[ci], bounds[ci + 1])
             init2 = smplh_params(sm["poses"][sl], sm["betas"][sl],
                                  sm["trans"][sl], mean_hands=mean_hands)
+            (kpts_d, init_d), unpad = shard_chunk(
+                (jnp.asarray(kpts_all[sl]), init2), bounds[ci + 1] - bounds[ci])
             p2, _ = fit_smplt(smpl_model, landmarks, body_prior, hand_prior,
-                              jnp.asarray(kpts_all[sl]), init2, refit_cfg,
+                              kpts_d, init_d, refit_cfg,
                               skip_global_phase=True)
+            p2 = unpad(p2)
             p2_pose[sl] = np.asarray(p2.pose)
             p2_betas[sl] = np.asarray(p2.betas)
             p2_trans[sl] = np.asarray(p2.trans)
@@ -315,9 +360,12 @@ def run_real_track(args):
         body_centers = landmarks.smpl_center(verts2)
         body_centers_all[sl] = np.asarray(body_centers)
         images, ccs = build_images(chunk, verts2, body_centers)
-        cache = encode_chunk(images)
-        pc = generate(sif_params, cache, jnp.asarray(ccs), body_centers,
-                      jax.random.PRNGKey(int(bounds[ci])))
+        (img_d, cc_d, bc_d), unpad = shard_chunk(
+            (jnp.asarray(images), jnp.asarray(ccs), body_centers),
+            len(chunk))
+        cache = encode_chunk(img_d)
+        pc = unpad(generate(sif_params, cache, cc_d, bc_d,
+                            jax.random.PRNGKey(int(bounds[ci]))))
         neural_pca[sl] = np.asarray(pc["object"]["pca_axis"])
         neural_trans[sl] = np.asarray(pc["object"]["centers"])
         occ_all[sl] = np.asarray(pc["object"]["visibility"])[:, 0]
@@ -326,12 +374,13 @@ def run_real_track(args):
         # stage-6a SMPL refinement (optimize_smpl) — depends only on the
         # smoothed SMPL-T init + this chunk's neural fields, so it runs here
         # while the encoder cache is already resident
-        ctx = dict(params=sif_params, cache=cache, cc=jnp.asarray(ccs),
-                   bc=body_centers)
+        ctx = dict(params=sif_params, cache=cache, cc=cc_d, bc=bc_d)
         p2c = smplh_params(p2_pose[sl], p2_betas[sl], p2_trans[sl],
                            mean_hands=mean_hands)
-        smpl_final, _ = opt_smpl(p2c, jnp.asarray(norm_kpts(kpts_all[sl],
-                                                            ccs)), ctx)
+        (p2c_d, kpts_d), unpad = shard_chunk(
+            (p2c, jnp.asarray(norm_kpts(kpts_all[sl], ccs))), len(chunk))
+        smpl_final, _ = opt_smpl(p2c_d, kpts_d, ctx)
+        smpl_final = unpad(smpl_final)
         smpl_pose[sl] = np.asarray(smpl_final.pose)
         smpl_betas[sl] = np.asarray(smpl_final.betas)
         smpl_trans[sl] = np.asarray(smpl_final.trans)
@@ -384,9 +433,11 @@ def run_real_track(args):
                                       jnp.asarray(p2_trans[sl]))
         images, ccs = build_images(chunk, verts2,
                                    jnp.asarray(body_centers_all[sl]))
-        cache = encode_chunk(images)
-        ctx = dict(params=sif_params, cache=cache, cc=jnp.asarray(ccs),
-                   bc=jnp.asarray(body_centers_all[sl]))
+        (img_d, cc_d, bc_d), _ = shard_chunk(
+            (jnp.asarray(images), jnp.asarray(ccs),
+             jnp.asarray(body_centers_all[sl])), B)
+        cache = encode_chunk(img_d)
+        ctx = dict(params=sif_params, cache=cache, cc=cc_d, bc=bc_d)
         verts_f, _, _, _ = lbs_forward(smpl_model, jnp.asarray(smpl_pose[sl]),
                                        jnp.asarray(smpl_betas[sl]),
                                        jnp.asarray(smpl_trans[sl]))
@@ -402,11 +453,15 @@ def run_real_track(args):
                                      (B,) + obj_points.shape)
         sil_verts_b = jnp.broadcast_to(jnp.asarray(temp_v),
                                        (B,) + temp_v.shape)
-        r_fin, t_fin, _ = opt_obj(
-            jnp.asarray(rot_real[sl].transpose(0, 2, 1)),
-            jnp.asarray(obj_t0), jnp.ones(B), obj_pts_b, verts_f,
-            part_labels, jnp.asarray(occ_all[sl]), sil, sil_verts_b,
-            jnp.asarray(sil_faces), ctx)
+        batched, unpad = shard_chunk(
+            (jnp.asarray(rot_real[sl].transpose(0, 2, 1)),
+             jnp.asarray(obj_t0), jnp.ones(B), obj_pts_b, verts_f,
+             jnp.asarray(occ_all[sl]), sil, sil_verts_b), B)
+        r0_d, t0_d, s_d, opts_d, vf_d, occ_d, sil_d, sv_d = batched
+        r_fin, t_fin, _ = opt_obj(r0_d, t0_d, s_d, opts_d, vf_d,
+                                  part_labels, occ_d, sil_d, sv_d,
+                                  jnp.asarray(sil_faces), ctx)
+        r_fin, t_fin = unpad((r_fin, t_fin))
         obj_angles[sl] = np.asarray(r_fin)
         obj_trans[sl] = np.asarray(t_fin)
 
