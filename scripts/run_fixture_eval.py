@@ -291,6 +291,9 @@ def run_phase(args):
             "--smoothnet-objrot-ckpt", osp.join(args.out, "sn_rot"),
             "--tiny-nets", "--chunk-size", str(args.chunk_size),
             "--net-size", str(args.net_size),
+            # bounded device programs: the tunnel kills multi-minute
+            # single executions (full-budget stage-6 phases exceed that)
+            "--segment-iters", "5",
             "--crop-size", str(args.crop_size), "--save-name", "fixture"])
         run_real_track(targs)  # is_done resume: skips if the pack exists
         return

@@ -97,3 +97,39 @@ def test_render_cli_mp4_top_contact(tmp_path, rng, capsys):
     assert os.path.getsize(out) > 100
     top = str(tmp_path / "vid" / "side_top.mp4")
     assert top in printed and os.path.getsize(top) > 100
+
+
+def test_evaluate_cli_frame_folder_mode(tmp_path, rng, capsys):
+    """--recon-seq gathers per-frame fit pkls (unpack_to_frames layout)
+    into a pack with dummy-fill/recon_exist, then evaluates — the
+    ReconEvaluator-over-recon-folders path (recon/eval/evaluate.py)."""
+    from test_real_track import _make_fake_sequence
+    from vistracker_tpu.data.packed import load_packed, unpack_to_frames
+
+    seq_name = "Date03_Sub03_boxsmall"
+    smpl_pkl = str(tmp_path / "SMPLH_male.pkl")
+    _make_fake_smplh_pkl(smpl_pkl, rng)
+    obj_root = str(tmp_path / "objects")
+    bv, bf = box_mesh()
+    os.makedirs(os.path.join(obj_root, "boxsmall"), exist_ok=True)
+    save_ply(os.path.join(obj_root, "boxsmall", "boxsmall.ply"), bv, bf)
+    gt_root, recon_root = _write_packs(tmp_path, rng, seq_name)
+
+    # scatter the recon pack into per-frame fit pkls inside a seq folder
+    seq_dir = str(tmp_path / seq_name)
+    _make_fake_sequence(seq_dir, rng, T=4)
+    packed = load_packed(os.path.join(recon_root, "recon_tr",
+                                      f"{seq_name}_k1.pkl"))
+    unpack_to_frames(packed, seq_dir, "tr", kid=1)
+
+    cli_main(["evaluate", "--recon-seq", seq_dir, "--save-name", "tr",
+              "--gt", os.path.join(gt_root, f"{seq_name}_GT-packed.pkl"),
+              "--template",
+              os.path.join(obj_root, "boxsmall", "boxsmall.ply"),
+              "--smpl-model", smpl_pkl, "--window", "2",
+              "--out", str(tmp_path / "results"), "--cpu"])
+    outfile = capsys.readouterr().out.strip().splitlines()[-1]
+    with open(outfile) as f:
+        res = json.load(f)
+    assert 0 < res["smpl_v2v"]["mean"] < 10.0
+    assert 0 < res["obj_v2v"]["mean"] < 10.0

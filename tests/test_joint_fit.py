@@ -270,3 +270,94 @@ def test_sil_convergence_basin(rng):
     assert err < 0.05, err
     np.testing.assert_allclose(np.linalg.det(np.asarray(r_fin)), 1.0,
                                atol=1e-4)
+
+
+def _object_problem(rng, cfg):
+    """Shared object-fit problem setup for the segmentation tests."""
+    verts_t, faces_t = _sphere_mesh()
+    pts = verts_t[None].repeat(B, 0)
+    roi = np.tile(np.array([[700.0, 500.0, 700.0]], np.float32), (B, 1))
+    ref = soft_silhouette(
+        jnp.asarray(2.0 * (np.asarray(project_px(points=jnp.asarray(
+            verts_t + OBJ_CENTER_GT)[None]))[0]
+            - roi[0, :2]) / roi[0, 2] - 1.0),
+        jnp.asarray(faces_t), cfg.sil_size, cfg.sil_sigma)
+    sil = SilRefs(image_ref=jnp.broadcast_to(ref, (B,) + ref.shape),
+                  keep_mask=jnp.ones((B, cfg.sil_size, cfg.sil_size)),
+                  roi_xyb=jnp.asarray(roi))
+    obj_t = jnp.asarray(np.tile(OBJ_CENTER_GT + np.array(
+        [0.1, -0.05, 0.05], np.float32), (B, 1)))
+    smpl_verts = jnp.asarray(
+        HUM_CENTER + HUM_RADIUS * _sphere_mesh(r=1.0)[0][None].repeat(B, 0))
+    args = (jnp.broadcast_to(jnp.eye(3), (B, 3, 3)), obj_t, jnp.ones(B),
+            jnp.asarray(pts), smpl_verts,
+            np.full(smpl_verts.shape[1], 11, np.int32), jnp.ones(B), sil,
+            jnp.asarray(pts), jnp.asarray(faces_t))
+    return args
+
+
+def test_object_optimizer_segmented_matches_single_program(rng):
+    """segment_iters executes the SAME per-iteration math as the one-shot
+    jit program (host-carried Adam state/decay/early-stop); results must
+    match. This is the execution mode for full reference budgets on the
+    axon tunnel, which kills multi-minute single device programs."""
+    cfg = JointFitConfig(iter_obj=5, iter_sil=3, joint_max_iter=7,
+                         sil_size=64, sil_sigma=1 / 32.0)
+    args = _object_problem(rng, cfg)
+    r1, t1, _ = make_object_optimizer(sphere_query_fn, project_px,
+                                      cfg)(*args)
+    # seg=2 does not divide any phase budget -> exercises partial segments
+    r2, t2, _ = make_object_optimizer(sphere_query_fn, project_px, cfg,
+                                      segment_iters=2)(*args)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=2e-5)
+
+
+def test_object_optimizer_segmented_early_stop(rng):
+    """Early stopping inside the segmented runner stops at the same
+    iteration as the while_loop program."""
+    cfg = JointFitConfig(iter_obj=3, iter_sil=1, joint_max_iter=20,
+                         sil_size=64, sil_sigma=1 / 32.0, early_stop=True,
+                         early_stop_min_frac=0.1)
+    args = _object_problem(rng, cfg)
+    r1, t1, _ = make_object_optimizer(sphere_query_fn, project_px,
+                                      cfg)(*args)
+    r2, t2, _ = make_object_optimizer(sphere_query_fn, project_px, cfg,
+                                      segment_iters=3)(*args)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=2e-5)
+
+
+def test_smpl_optimizer_segmented_matches_single_program(rng):
+    model = S.random_smpl_model(0, num_joints=52, num_verts=96)
+    reg = rng.rand(25, 96).astype(np.float32)
+    reg /= reg.sum(1, keepdims=True)
+    lms = BodyLandmarks(body25=jnp.asarray(reg), face=jnp.asarray(reg[:1]),
+                        hand=jnp.asarray(reg[:1]))
+    bp = MahalanobisPrior(mean=jnp.zeros(63), prec=jnp.eye(63) * 0.1)
+    hp = HandPrior(mean=jnp.zeros(90), lhand_prec=jnp.eye(45) * 0.1,
+                   rhand_prec=jnp.eye(45) * 0.1)
+    cfg = JointFitConfig(iter_betas=1, iter_pose=1, iter_kpts=1,
+                         smpl_max_iter=3)
+    labels = rng.randint(0, 14, 96).astype(np.int32)
+
+    def project_norm(ctx, joints):
+        px = project_px(points=joints)
+        cc = jnp.asarray([[1018.952, 779.486]])
+        return 2.0 * (600.0 + px - cc[:, None, :]) / 1200.0 - 1.0
+
+    init = SMPLTParams.from_full(
+        jnp.zeros((B, 156)), jnp.zeros((B, 10)),
+        jnp.asarray(np.tile(HUM_CENTER + np.array([0.1, 0.0, 0.3],
+                                                  np.float32), (B, 1))))
+    kpts = jnp.concatenate(
+        [jnp.zeros((B, 25, 2)), jnp.ones((B, 25, 1))], -1)
+    p1, _ = make_smpl_optimizer(sphere_query_fn, project_norm, model, lms,
+                                bp, hp, labels, cfg)(init, kpts)
+    p2, _ = make_smpl_optimizer(sphere_query_fn, project_norm, model, lms,
+                                bp, hp, labels, cfg,
+                                segment_iters=2)(init, kpts)
+    np.testing.assert_allclose(np.asarray(p1.trans), np.asarray(p2.trans),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(p1.pose), np.asarray(p2.pose),
+                               atol=2e-5)

@@ -349,6 +349,11 @@ def build_parser():
     tr.add_argument("--start", type=int, default=0)
     tr.add_argument("--end", type=int, default=None)
     tr.add_argument("--chunk-size", type=int, default=96)
+    tr.add_argument("--segment-iters", type=int, default=0,
+                    help="run stage-6 optimizer phases as a host loop of "
+                         "device programs of at most N iterations each "
+                         "(identical math; needed where the runtime kills "
+                         "long single executions)")
     tr.add_argument("--shard-frames", action="store_true",
                     help="shard each chunk's frame axis over the device "
                          "mesh (SPMD; pads the last chunk to a device "
@@ -483,6 +488,12 @@ def build_parser():
                     help="align on SMPL verts only")
     ev.add_argument("--out", default="results")
     ev.add_argument("--cpu", action="store_true")
+    # frame-folder mode (recon/eval/evaluate.py ReconEvaluator): gather
+    # per-frame k<tid>.smplfit_/objfit_<save-name>.pkl files into a pack
+    # first, then evaluate
+    ev.add_argument("--recon-seq", default=None,
+                    help="sequence folder with per-frame fit pkls "
+                         "(frame-folder mode; replaces --recon)")
     return p
 
 
@@ -935,12 +946,30 @@ def run_evaluate(args):
                                     args.window, args.smpl_only)
         out = collect_results(errors, args.out, args.save_name)
     else:
-        if not (args.recon and args.gt and args.template):
-            raise SystemExit("evaluate needs --split or --recon/--gt/--template")
+        recon = args.recon
+        if getattr(args, "recon_seq", None):
+            # frame-folder mode: per-frame fit pkls -> packed pkl, with
+            # dummy-fill + recon_exist for missing frames
+            # (evaluate.py:ReconEvaluator over recon folders)
+            from ..data.behave import FrameDataReader
+            from ..data.packed import pack_from_frames, save_packed
+            reader = FrameDataReader(args.recon_seq)
+            packed = pack_from_frames(args.recon_seq, reader.frames,
+                                      args.save_name, kid=args.tid)
+            packed.update(gender=reader.seq_info.get_gender())
+            recon = os.path.join(
+                args.out, f"recon_{args.save_name}",
+                f"{reader.seq_name}_k{args.tid}.pkl")
+            os.makedirs(os.path.dirname(recon), exist_ok=True)
+            save_packed(recon, packed)
+            print(f"[evaluate] packed {args.recon_seq} -> {recon}")
+        if not (recon and args.gt and args.template):
+            raise SystemExit("evaluate needs --split, --recon, or "
+                             "--recon-seq (+ --gt/--template)")
         temp_v, temp_f = load_ply(args.template)
         temp_v = temp_v - temp_v.mean(0)
-        seq_name = os.path.basename(args.recon).replace(".pkl", "")
-        errors[seq_name] = _eval_one(model, args.recon, args.gt, temp_v,
+        seq_name = os.path.basename(recon).replace(".pkl", "")
+        errors[seq_name] = _eval_one(model, recon, args.gt, temp_v,
                                      temp_f, args.window, args.smpl_only)
         out = collect_results(errors, args.out, args.save_name)
     print(out)

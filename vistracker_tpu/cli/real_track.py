@@ -190,10 +190,12 @@ def run_real_track(args):
     def project_px(ctx, points):
         return cam.project_screen(points)
 
+    seg = getattr(args, "segment_iters", 0) or None
     opt_smpl = make_smpl_optimizer(query_fn, project_norm, smpl_model,
                                    landmarks, body_prior, hand_prior,
-                                   part_labels, jcfg)
-    opt_obj = make_object_optimizer(query_fn, project_px, jcfg)
+                                   part_labels, jcfg, segment_iters=seg)
+    opt_obj = make_object_optimizer(query_fn, project_px, jcfg,
+                                    segment_iters=seg)
 
     from ..models.sifnet import pack_cache
     smpl_faces = jnp.asarray(smpl_model.faces)

@@ -233,6 +233,73 @@ def _adam_while(loss_fn: Callable, params, lrs: dict, max_iters: int,
     return p, loss, iters
 
 
+def _make_phase_stepper(loss_fn, lrs: dict, steps_per_iter: int, decay_fn,
+                        rel_tol: float):
+    """Host-segmented phase runner: same per-iteration semantics as
+    _adam_while (Adam updates, decay schedule, relative-loss early stop),
+    but each DEVICE PROGRAM advances at most `seg` iterations; the Adam
+    state, previous loss, and iteration counter carry across calls on the
+    host. Needed because the axon TPU tunnel kills single program
+    executions beyond a few minutes (PERF_NOTES) — at full reference
+    budgets one while_loop program can run 1000+ Adam steps.
+
+    loss_fn(params, decay, env) -> scalar; env is an arbitrary pytree of
+    per-chunk tensors (never closed over — jit would embed them).
+    rel_tol=0 disables early stopping (fixed-budget scan semantics).
+    Returns run(params, env, max_iters, min_iters, seg) ->
+    (params, last_loss, iters_used).
+    """
+    label = {k: k for k in lrs}
+    opt = optax.multi_transform(
+        {k: optax.adam(lr) if lr > 0 else optax.set_to_zero()
+         for k, lr in lrs.items()}, label)
+
+    @functools.partial(jax.jit, static_argnames=("seg",))
+    def advance(params, state, prev, it, done, env, max_iters, min_iters,
+                seg):
+        def one_iter(p, s, it):
+            def step(k, carry):
+                p, s, _ = carry
+                decay = decay_fn(it * steps_per_iter + k)
+                loss, grads = jax.value_and_grad(loss_fn)(p, decay, env)
+                grads = {k2: g * (1.0 if lrs[k2] > 0 else 0.0)
+                         for k2, g in grads.items()}
+                updates, s = opt.update(grads, s)
+                p = optax.apply_updates(p, updates)
+                return (p, s, loss)
+            return jax.lax.fori_loop(0, steps_per_iter, step,
+                                     (p, s, jnp.float32(0.0)))
+
+        def cond(carry):
+            _, _, _, it, done, k = carry
+            return (k < seg) & (it < max_iters) & ~done
+
+        def body(carry):
+            p, s, prev, it, _, k = carry
+            p, s, loss = one_iter(p, s, it)
+            rel = jnp.abs(prev - loss) / jnp.maximum(jnp.abs(prev), 1e-12)
+            done = (rel < jnp.abs(prev) * rel_tol) & (it > min_iters)
+            return (p, s, loss, it + 1, done, k + 1)
+
+        params, state, prev, it, done, _ = jax.lax.while_loop(
+            cond, body, (params, state, prev, it, done, jnp.int32(0)))
+        return params, state, prev, it, done
+
+    def run(params, env, max_iters: int, min_iters: float = -1.0,
+            seg: int = 8):
+        state = opt.init(params)
+        prev = jnp.float32(300.0)
+        it = jnp.int32(0)
+        done = jnp.asarray(False)
+        while int(it) < max_iters and not bool(done):
+            params, state, prev, it, done = advance(
+                params, state, prev, it, done, env,
+                jnp.int32(max_iters), jnp.float32(min_iters), seg)
+        return params, prev, it
+
+    return run
+
+
 # ---------------------------------------------------------------------------
 # SMPL phase
 # ---------------------------------------------------------------------------
@@ -241,7 +308,8 @@ def make_smpl_optimizer(query_fn, project_fn, model: SMPLModel,
                         landmarks: BodyLandmarks,
                         body_prior: MahalanobisPrior, hand_prior: HandPrior,
                         part_labels: np.ndarray,
-                        cfg: JointFitConfig = JointFitConfig()):
+                        cfg: JointFitConfig = JointFitConfig(),
+                        segment_iters: int | None = None):
     """Build the jit'd optimize_smpl program ONCE per model; run per chunk.
 
     query_fn(ctx, points (B,N,3)) -> head dict (df (B,N,2), parts, ...);
@@ -251,6 +319,12 @@ def make_smpl_optimizer(query_fn, project_fn, model: SMPLModel,
     never close over per-chunk arrays: under jit they become embedded
     constants and every chunk would retrace and recompile (minutes per
     chunk on the axon tunnel, and giant compile payloads).
+
+    segment_iters: when set, execute the phases as a HOST loop over
+    bounded device programs of at most that many iterations each
+    (_make_phase_stepper) — identical per-iteration math and early-stop
+    checks, but no single device execution runs the whole budget (the
+    axon tunnel kills multi-minute executions).
     """
     labels = jnp.asarray(part_labels)
     n_verts = len(part_labels)
@@ -297,56 +371,80 @@ def make_smpl_optimizer(query_fn, project_fn, model: SMPLModel,
         scale = 1.0 / (1.0 + decay)
         return sum(terms[k] * w[k] * scale for k in terms if k in w)
 
+    spi = cfg.steps_per_iter
+
+    def loss1_env(pdict, decay, env):
+        terms, _ = loss_terms(SMPLTParams(**pdict), env["aux"], env["ctx"],
+                              False)
+        return weighted(terms, decay)
+
+    def loss23_env(pdict, decay_and_kw, env):
+        # phases 2+3 run in ONE optimizer: the j2d term switches on via
+        # a traced weight instead of a phase boundary
+        decay, kw = decay_and_kw
+        terms, _ = loss_terms(SMPLTParams(**pdict), env["aux"], env["ctx"],
+                              True)
+        terms = dict(terms)
+        terms["j2d"] = terms["j2d"] * kw
+        return weighted(terms, decay)
+
+    kpts_from = cfg.iter_betas + cfg.iter_pose  # global iter of phase 3
+
+    def decay23(s):
+        it = cfg.iter_betas + s // spi  # global iteration counter
+        kpts_on = (it >= kpts_from).astype(jnp.float32)
+        decay = jnp.where(kpts_on > 0, it.astype(jnp.float32) / 3.0, 1.0)
+        return (decay, kpts_on)
+
+    field_names = [f.name for f in dataclasses.fields(SMPLTParams)]
+    zero = {k: 0.0 for k in field_names}
+    # phase 1: betas (top) + trans, lr .02
+    lrs1 = {**zero, "top_betas": cfg.lr_betas, "trans": cfg.lr_betas}
+    # phases 2 (all pose) + 3 (+ keypoints) share ONE Adam instance —
+    # the reference only re-creates the optimizer at the beta->pose
+    # boundary (recon_fit_behave.py:409-430), so the kpts phase starts
+    # with warm moments, not a fresh bias-correction ramp.
+    lrs23 = {**zero, "trans": cfg.lr_pose, "global_pose": cfg.lr_pose,
+             "body_pose": cfg.lr_pose, "top_betas": cfg.lr_pose,
+             "other_betas": cfg.lr_pose}
+    n23 = cfg.iter_pose + cfg.iter_kpts + cfg.smpl_max_iter
+    # reference gate: it > 0.25*max_iter + iter_betas + iter_pose
+    # (global) -> local offset within this merged phase
+    min23 = cfg.early_stop_min_frac * cfg.smpl_max_iter + cfg.iter_pose
+
+    if segment_iters:
+        run1 = _make_phase_stepper(loss1_env, lrs1, spi,
+                                   lambda s: jnp.float32(1.0), 0.0)
+        run23 = _make_phase_stepper(
+            loss23_env, lrs23, spi, decay23,
+            cfg.smpl_rel_tol if cfg.early_stop else 0.0)
+
+        def optimize_smpl_segmented(smpl: SMPLTParams, body_kpts, ctx=None):
+            env = dict(aux=dict(pose_init=smpl.body_pose,
+                                body_kpts=body_kpts), ctx=ctx)
+            pdict = dataclasses.asdict(smpl)
+            pdict, l1, _ = run1(pdict, env, cfg.iter_betas,
+                                seg=segment_iters)
+            pdict, l23, _ = run23(pdict, env, n23,
+                                  min23 if cfg.early_stop else -1.0,
+                                  segment_iters)
+            return SMPLTParams(**pdict), jnp.stack([l1, l23])
+
+        return optimize_smpl_segmented
+
     @jax.jit
     def optimize_smpl(smpl: SMPLTParams, body_kpts, ctx=None):
-        aux = dict(pose_init=smpl.body_pose, body_kpts=body_kpts)
-        spi = cfg.steps_per_iter
-
-        def loss1(pdict, decay):
-            terms, _ = loss_terms(SMPLTParams(**pdict), aux, ctx, False)
-            return weighted(terms, decay)
-
-        def loss23(pdict, decay_and_kw):
-            # phases 2+3 run in ONE optimizer: the j2d term switches on via
-            # a traced weight instead of a phase boundary
-            decay, kw = decay_and_kw
-            terms, _ = loss_terms(SMPLTParams(**pdict), aux, ctx, True)
-            terms = dict(terms)
-            terms["j2d"] = terms["j2d"] * kw
-            return weighted(terms, decay)
-
+        env = dict(aux=dict(pose_init=smpl.body_pose, body_kpts=body_kpts),
+                   ctx=ctx)
         pdict = dataclasses.asdict(smpl)
-        zero = {k: 0.0 for k in pdict}
-        # phase 1: betas (top) + trans, lr .02
         pdict, l1 = _adam_scan(
-            loss1, pdict,
-            {**zero, "top_betas": cfg.lr_betas, "trans": cfg.lr_betas},
+            lambda p, d: loss1_env(p, d, env), pdict, lrs1,
             cfg.iter_betas * spi, lambda s: jnp.float32(1.0))
 
-        # phases 2 (all pose) + 3 (+ keypoints) share ONE Adam instance —
-        # the reference only re-creates the optimizer at the beta->pose
-        # boundary (recon_fit_behave.py:409-430), so the kpts phase starts
-        # with warm moments, not a fresh bias-correction ramp.
-        lrs23 = {**zero, "trans": cfg.lr_pose, "global_pose": cfg.lr_pose,
-                 "body_pose": cfg.lr_pose, "top_betas": cfg.lr_pose,
-                 "other_betas": cfg.lr_pose}
-        kpts_from = cfg.iter_betas + cfg.iter_pose  # global iter of phase 3
-
-        def decay23(s):
-            it = cfg.iter_betas + s // spi  # global iteration counter
-            kpts_on = (it >= kpts_from).astype(jnp.float32)
-            decay = jnp.where(kpts_on > 0, it.astype(jnp.float32) / 3.0, 1.0)
-            return (decay, kpts_on)
-
-        n23 = cfg.iter_pose + cfg.iter_kpts + cfg.smpl_max_iter
+        loss23 = lambda p, d: loss23_env(p, d, env)
         if cfg.early_stop:
-            # reference gate: it > 0.25*max_iter + iter_betas + iter_pose
-            # (global) -> local offset within this merged phase
-            min_iters = cfg.early_stop_min_frac * cfg.smpl_max_iter \
-                + cfg.iter_pose
             pdict, last, _ = _adam_while(loss23, pdict, lrs23, n23, spi,
-                                         decay23, cfg.smpl_rel_tol,
-                                         min_iters)
+                                         decay23, cfg.smpl_rel_tol, min23)
             l23 = last[None]
         else:
             pdict, l23 = _adam_scan(loss23, pdict, lrs23, n23 * spi, decay23)
@@ -360,7 +458,8 @@ def make_smpl_optimizer(query_fn, project_fn, model: SMPLModel,
 # ---------------------------------------------------------------------------
 
 def make_object_optimizer(query_fn, project_px,
-                          cfg: JointFitConfig = JointFitConfig()):
+                          cfg: JointFitConfig = JointFitConfig(),
+                          segment_iters: int | None = None):
     """Build the jit'd optimize_smpl_object program.
 
     query_fn(ctx, points (B,N,3)) -> head dict; project_px(ctx, points
@@ -440,101 +539,152 @@ def make_object_optimizer(query_fn, project_px,
         return _adam_scan(loss_fn, params, lrs,
                           n_iters * cfg.steps_per_iter, decay_fn)
 
+    spi = cfg.steps_per_iter
+
+    def _weighted(terms, decay):
+        w = dict(object=cfg.w_object, scale=cfg.w_scale,
+                 otemp=cfg.w_otemp, ovtemp=cfg.w_ovtemp,
+                 mask=cfg.w_mask, trans=cfg.w_trans,
+                 contact=cfg.w_contact, collide=cfg.w_collide,
+                 ocent=cfg.w_ocent)
+        s = 1.0 / (1.0 + decay)
+        return sum(terms[k] * w[k] * s for k in terms if k in w)
+
+    def transformed(p, env):
+        r = decopose_axis(p["obj_r"])
+        return transform_obj_verts(env["obj_points"], r, p["obj_t"],
+                                   env["obj_s"]), r
+
+    # ---------------- phase 1: object only ----------------
+    def loss_obj_env(p, decay, env):
+        obj, _ = transformed(p, env)
+        preds = query_fn(env["ctx"], obj)
+        terms = {}
+        obj_losses(obj, preds, env["obj_s"], env["occ"], terms)
+        temporal(obj, False, terms)
+        return _weighted(terms, decay)
+
+    # ---------------- phase 2: silhouette ----------------
+    def loss_sil_env(p, decay, env):
+        obj, r = transformed(p, env)
+        terms = {}
+        terms["mask"] = sil_loss(env["ctx"], r, p["obj_t"], env["obj_s"],
+                                 env["sil"], env["sil_verts"],
+                                 env["sil_faces"], env["occ"])
+        terms["scale"] = ((env["obj_s"] - cfg.obj_scale) ** 2).mean()
+        terms["trans"] = ((p["obj_t"] - env["trans_init"]) ** 2).mean()
+        temporal(obj, False, terms)
+        return _weighted(terms, decay)
+
+    # ---------------- phase 3: joint ----------------
+    def loss_joint_env(p, decay, env):
+        obj, r = transformed(p, env)
+        preds = query_fn(env["ctx"], obj)
+        terms = {}
+        obj_losses(obj, preds, env["obj_s"], env["occ"], terms)
+        temporal(obj, True, terms)
+        terms["contact"] = contact_loss(obj, env["smpl_verts"],
+                                        env["labels_h"], env["labels_o"],
+                                        env["mask_h"], env["mask_o"])
+        if cfg.collision and "sdf_grid" in env:
+            r_t = jnp.swapaxes(r, -1, -2)
+            local = jnp.einsum(
+                "bnk,bkj->bnj",
+                env["smpl_verts"] / env["obj_s"][:, None, None]
+                - p["obj_t"][:, None, :],
+                r_t, precision=jax.lax.Precision.HIGHEST)
+            terms["collide"] = penetration_loss(env["sdf_grid"], local)
+        return _weighted(terms, decay)
+
+    def contact_masks(params, env):
+        """Contact dfs computed ONCE from the phase-2 result and frozen
+        (recon_fit_trivis_full.py:242-253)."""
+        obj_now, _ = transformed(params, env)
+        preds_o = query_fn(env["ctx"], obj_now)
+        df_obj_h = jax.lax.stop_gradient(preds_o["df"][..., 0])
+        labels_o = jnp.argmax(
+            jax.lax.stop_gradient(preds_o["parts"]), -1)          # (B, N_o)
+        preds_h = query_fn(env["ctx"], env["smpl_verts"])
+        df_hum_o = jax.lax.stop_gradient(preds_h["df"][..., 1])
+        return labels_o, df_hum_o < cfg.cont_thres, df_obj_h < cfg.cont_thres
+
+    decay1 = lambda s: jnp.float32(1.0)
+    decay2 = lambda s: (s // spi).astype(jnp.float32) + 1.0
+    decay_j = lambda s: (((s + (cfg.iter_obj + cfg.iter_sil) * spi) // spi
+                          - cfg.iter_obj + 1).astype(jnp.float32)) / 3.0
+    lrs_1 = {"obj_r": cfg.lr_obj_r, "obj_t": cfg.lr_obj_t}
+    lrs_2 = {"obj_r": cfg.lr_sil, "obj_t": cfg.lr_sil}
+    lrs_j = {"obj_r": 0.0, "obj_t": cfg.lr_joint}
+    # reference early-stop gate is GLOBAL (it > 0.25*max_iter with it
+    # already past iter_obj + iter_sil) — always satisfied at joint start,
+    # so the joint phase may stop on its first converged iteration
+    min_j = max(0.0, cfg.early_stop_min_frac * cfg.joint_max_iter
+                - (cfg.iter_obj + cfg.iter_sil))
+
+    if segment_iters:
+        run1 = _make_phase_stepper(loss_obj_env, lrs_1, spi, decay1, 0.0)
+        run2 = _make_phase_stepper(loss_sil_env, lrs_2, spi, decay2, 0.0)
+        run3 = _make_phase_stepper(
+            loss_joint_env, lrs_j, spi, decay_j,
+            cfg.joint_rel_tol if cfg.early_stop else 0.0)
+        masks_jit = jax.jit(contact_masks)
+
+        def optimize_object_segmented(obj_r, obj_t, obj_s, obj_points,
+                                      smpl_verts, labels_h, occ_ratios,
+                                      sil: SilRefs, sil_verts, sil_faces,
+                                      ctx=None,
+                                      sdf_grid: SDFGrid | None = None):
+            params = {"obj_r": obj_r, "obj_t": obj_t}
+            env = dict(obj_points=obj_points, obj_s=obj_s, occ=occ_ratios,
+                       ctx=ctx)
+            params, l1, _ = run1(params, env, cfg.iter_obj,
+                                 seg=segment_iters)
+            env2 = dict(env, sil=sil, sil_verts=sil_verts,
+                        sil_faces=sil_faces, trans_init=params["obj_t"])
+            params, l2, _ = run2(params, env2, cfg.iter_sil,
+                                 seg=segment_iters)
+            env3 = dict(env, smpl_verts=smpl_verts,
+                        labels_h=jnp.asarray(labels_h))
+            if cfg.collision and sdf_grid is not None:
+                env3["sdf_grid"] = sdf_grid
+            labels_o, mask_h, mask_o = masks_jit(params, env3)
+            env3.update(labels_o=labels_o, mask_h=mask_h, mask_o=mask_o)
+            params, l3, _ = run3(params, env3, cfg.joint_max_iter,
+                                 min_j if cfg.early_stop else -1.0,
+                                 segment_iters)
+            r_final = decopose_axis(params["obj_r"])
+            return r_final, params["obj_t"], jnp.stack([l1, l2, l3])
+
+        return optimize_object_segmented
+
     @jax.jit
     def optimize_object(obj_r, obj_t, obj_s, obj_points, smpl_verts,
                         labels_h, occ_ratios, sil: SilRefs, sil_verts,
                         sil_faces, ctx=None, sdf_grid: SDFGrid | None = None):
-        spi = cfg.steps_per_iter
-        labels_h = jnp.asarray(labels_h)
-
-        def transformed(p):
-            r = decopose_axis(p["obj_r"])
-            return transform_obj_verts(obj_points, r, p["obj_t"], obj_s), r
-
-        # ---------------- phase 1: object only ----------------
-        def loss_obj(p, decay):
-            obj, _ = transformed(p)
-            preds = query_fn(ctx, obj)
-            terms = {}
-            obj_losses(obj, preds, obj_s, occ_ratios, terms)
-            temporal(obj, False, terms)
-            return _weighted(terms, decay)
-
-        def _weighted(terms, decay):
-            w = dict(object=cfg.w_object, scale=cfg.w_scale,
-                     otemp=cfg.w_otemp, ovtemp=cfg.w_ovtemp,
-                     mask=cfg.w_mask, trans=cfg.w_trans,
-                     contact=cfg.w_contact, collide=cfg.w_collide,
-                     ocent=cfg.w_ocent)
-            s = 1.0 / (1.0 + decay)
-            return sum(terms[k] * w[k] * s for k in terms if k in w)
-
         params = {"obj_r": obj_r, "obj_t": obj_t}
+        env = dict(obj_points=obj_points, obj_s=obj_s, occ=occ_ratios,
+                   ctx=ctx)
         params, l1 = run_phase(
-            loss_obj, params,
-            {"obj_r": cfg.lr_obj_r, "obj_t": cfg.lr_obj_t},
-            cfg.iter_obj, lambda s: jnp.float32(1.0))
+            lambda p, d: loss_obj_env(p, d, env), params, lrs_1,
+            cfg.iter_obj, decay1)
 
-        # ---------------- phase 2: silhouette ----------------
-        trans_init = jax.lax.stop_gradient(params["obj_t"])
-
-        def loss_sil(p, decay):
-            obj, r = transformed(p)
-            terms = {}
-            terms["mask"] = sil_loss(ctx, r, p["obj_t"], obj_s, sil,
-                                     sil_verts, sil_faces, occ_ratios)
-            terms["scale"] = ((obj_s - cfg.obj_scale) ** 2).mean()
-            terms["trans"] = ((p["obj_t"] - trans_init) ** 2).mean()
-            temporal(obj, False, terms)
-            return _weighted(terms, decay)
-
+        env2 = dict(env, sil=sil, sil_verts=sil_verts, sil_faces=sil_faces,
+                    trans_init=jax.lax.stop_gradient(params["obj_t"]))
         params, l2 = run_phase(
-            loss_sil, params,
-            {"obj_r": cfg.lr_sil, "obj_t": cfg.lr_sil}, cfg.iter_sil,
-            lambda s: (s // spi).astype(jnp.float32) + 1.0)
+            lambda p, d: loss_sil_env(p, d, env2), params, lrs_2,
+            cfg.iter_sil, decay2)
 
-        # ---------------- phase 3: joint ----------------
-        # contact dfs computed ONCE from the phase-2 result and frozen
-        # (recon_fit_trivis_full.py:242-253)
-        obj_now, _ = transformed(params)
-        preds_o = query_fn(ctx, obj_now)
-        df_obj_h = jax.lax.stop_gradient(preds_o["df"][..., 0])   # human df at obj pts
-        labels_o = jnp.argmax(
-            jax.lax.stop_gradient(preds_o["parts"]), -1)          # (B, N_o)
-        preds_h = query_fn(ctx, smpl_verts)
-        df_hum_o = jax.lax.stop_gradient(preds_h["df"][..., 1])   # obj df at smpl verts
-        mask_h = df_hum_o < cfg.cont_thres
-        mask_o = df_obj_h < cfg.cont_thres
-
-        def loss_joint(p, decay):
-            obj, r = transformed(p)
-            preds = query_fn(ctx, obj)
-            terms = {}
-            obj_losses(obj, preds, obj_s, occ_ratios, terms)
-            temporal(obj, True, terms)
-            terms["contact"] = contact_loss(obj, smpl_verts, labels_h,
-                                            labels_o, mask_h, mask_o)
-            if cfg.collision and sdf_grid is not None:
-                r_t = jnp.swapaxes(r, -1, -2)
-                local = jnp.einsum(
-                    "bnk,bkj->bnj",
-                    smpl_verts / obj_s[:, None, None] - p["obj_t"][:, None, :],
-                    r_t, precision=jax.lax.Precision.HIGHEST)
-                terms["collide"] = penetration_loss(sdf_grid, local)
-            return _weighted(terms, decay)
-
-        decay_j = lambda s: (((s + (cfg.iter_obj + cfg.iter_sil) * spi) // spi
-                              - cfg.iter_obj + 1).astype(jnp.float32)) / 3.0
-        lrs_j = {"obj_r": 0.0, "obj_t": cfg.lr_joint}
+        env3 = dict(env, smpl_verts=smpl_verts,
+                    labels_h=jnp.asarray(labels_h))
+        if cfg.collision and sdf_grid is not None:
+            env3["sdf_grid"] = sdf_grid
+        labels_o, mask_h, mask_o = contact_masks(params, env3)
+        env3.update(labels_o=labels_o, mask_h=mask_h, mask_o=mask_o)
+        loss_joint = lambda p, d: loss_joint_env(p, d, env3)
         if cfg.early_stop:
-            # reference gate is GLOBAL (it > 0.25*max_iter with it already
-            # past iter_obj + iter_sil) — always satisfied at joint start,
-            # so the joint phase may stop on its first converged iteration
-            min_iters = max(0.0, cfg.early_stop_min_frac * cfg.joint_max_iter
-                            - (cfg.iter_obj + cfg.iter_sil))
             params, last, _ = _adam_while(loss_joint, params, lrs_j,
                                           cfg.joint_max_iter, spi, decay_j,
-                                          cfg.joint_rel_tol, min_iters)
+                                          cfg.joint_rel_tol, min_j)
             l3 = last[None]
         else:
             params, l3 = run_phase(loss_joint, params, lrs_j,
