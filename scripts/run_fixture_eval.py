@@ -97,7 +97,14 @@ def train_sifnet(frames, part_labels, out_dir, crop_size, net_size,
 
     loader = PrefetchLoader(example, len(frames), batch_size=4,
                             num_workers=6)
-    tcfg = TrainConfig(learning_rate=lr)
+    # df clamp: the release value (clamp_thres 0.1, torch.clamp semantics =
+    # zero gradient above the clamp) is a TRAP at this overfit scale — the
+    # x1000-weighted center/vis losses shift the shared features until
+    # every df output sits above 0.1 and the df gradient dies permanently
+    # (observed: loss_df_* flat, min pred 0.12 > clamp). A 1.0 clamp keeps
+    # the gradient alive; loss-math parity with the reference is pinned by
+    # the unit tests, the fixture only needs a usable field.
+    tcfg = TrainConfig(learning_rate=lr, max_dist=1.0)
     to_dev = lambda b: {k: jnp.asarray(v) for k, v in b.items()}
     state = init_train_state(model, jax.random.PRNGKey(0),
                              to_dev(next(iter(loader))), tcfg)
@@ -339,7 +346,7 @@ def main():
     ap.add_argument("--net-size", type=int, default=256)
     ap.add_argument("--crop-size", type=int, default=1200)
     ap.add_argument("--chunk-size", type=int, default=30)
-    ap.add_argument("--sif-epochs", type=int, default=30)
+    ap.add_argument("--sif-epochs", type=int, default=60)
     ap.add_argument("--sif-samples", type=int, default=2500)
     ap.add_argument("--results", default="results/fixture_eval.json")
     ap.add_argument("--cpu", action="store_true")

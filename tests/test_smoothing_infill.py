@@ -94,3 +94,27 @@ def test_infill_passthrough_when_unreliable(rng):
                         jnp.zeros((1, cfg.clip_len), bool))
     run = make_infiller(model, cfg)
     assert run(params, poses, trans, rots, occ) is None
+
+
+def test_infill_unconditional_motioninfiller(rng):
+    """The same autoregression drives the UNCONDITIONAL MotionInfiller
+    (one encoder over the concatenated 153-d stream,
+    interp/test_infill_autoreg.py): context carry + rot6d->R conversion."""
+    from vistracker_tpu.models.infiller import MotionInfiller
+    cfg = InfillerConfig(clip_len=60, window=10)
+    model = MotionInfiller(d_model=32, num_layers=1, num_heads=2,
+                           dim_forward=64, hidden_dims=(16,))
+    T = 95
+    poses = (rng.randn(T, 72) * 0.2).astype(np.float32)
+    trans = rng.randn(T, 3).astype(np.float32)
+    rots = np.asarray(axis_angle_to_rotmat(
+        jnp.asarray((rng.randn(T, 3) * 0.3).astype(np.float32))))
+    occ = rng.rand(T).astype(np.float32)
+    occ[:15] = 1.0
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, cfg.clip_len, 153)),
+                        jnp.zeros((1, cfg.clip_len), bool))
+    run = make_infiller(model, cfg)
+    out = run(params, poses, trans, rots, occ)
+    assert out is not None and out.shape == (T, 3, 3)
+    np.testing.assert_allclose(np.linalg.det(out), 1.0, atol=1e-4)

@@ -45,18 +45,27 @@ def prepare_streams(poses: np.ndarray, trans: np.ndarray,
     return smpl_stream, obj_stream
 
 
-def make_infiller(model: ConditionalMInfiller,
-                  cfg: InfillerConfig = InfillerConfig()):
+def make_infiller(model, cfg: InfillerConfig = InfillerConfig()):
     """Returns infill(params, smpl_stream, obj_stream, occ_mask) jitted per
-    sequence length. occ_mask (T,) bool, True = occluded."""
+    sequence length. occ_mask (T,) bool, True = occluded.
+
+    model: ConditionalMInfiller (HVOP-Net release, separate SMPL/object
+    encoders) or MotionInfiller (the unconditional variant — one encoder
+    over the concatenated 153-d stream, interp/test_infill_autoreg.py);
+    the autoregression around either is identical."""
     clip, win = cfg.clip_len, cfg.window
+    conditional = isinstance(model, ConditionalMInfiller)
 
     def forward(params, smpl_clip, obj_clip, mask_clip):
         # object inputs zeroed where occluded (model_forward)
         obj_in = obj_clip * (1.0 - mask_clip[:, None].astype(jnp.float32))
-        pred = model.apply(params, smpl_clip[None],
-                           jnp.zeros((1, clip), bool),
-                           obj_in[None], mask_clip[None])
+        if conditional:
+            pred = model.apply(params, smpl_clip[None],
+                               jnp.zeros((1, clip), bool),
+                               obj_in[None], mask_clip[None])
+        else:
+            src = jnp.concatenate([smpl_clip, obj_in], -1)
+            pred = model.apply(params, src[None], mask_clip[None])
         return pred[0]  # (clip, 6)
 
     @jax.jit
