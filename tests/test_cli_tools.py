@@ -133,3 +133,35 @@ def test_evaluate_cli_frame_folder_mode(tmp_path, rng, capsys):
         res = json.load(f)
     assert 0 < res["smpl_v2v"]["mean"] < 10.0
     assert 0 < res["obj_v2v"]["mean"] < 10.0
+
+
+def test_pack_unpack_cli_roundtrip(tmp_path, rng, capsys):
+    """`unpack` scatters a packed pkl to per-frame fit files and `pack`
+    gathers them back (tools/pack2separate.py + pack_recon.py param path),
+    preserving params and recording recon_exist."""
+    from test_real_track import _make_fake_sequence
+    from vistracker_tpu.data.packed import load_packed
+
+    seq_name = "Date04_Sub04_boxsmall"
+    _, recon_root = _write_packs(tmp_path, rng, seq_name)
+    recon = os.path.join(recon_root, "recon_tr", f"{seq_name}_k1.pkl")
+    seq_dir = str(tmp_path / seq_name)
+    _make_fake_sequence(seq_dir, rng, T=4)
+
+    cli_main(["unpack", "--packed", recon, "--seq", seq_dir,
+              "--save-name", "tr"])
+    assert "unpacked 4 frames" in capsys.readouterr().out
+    assert os.path.isfile(os.path.join(seq_dir, "t0000.000",
+                                       "k1.smplfit_tr.pkl"))
+
+    out = str(tmp_path / "repacked.pkl")
+    cli_main(["pack", "--seq", seq_dir, "--out", out, "--save-name", "tr"])
+    assert "4 with recon" in capsys.readouterr().out
+    orig, rt = load_packed(recon), load_packed(out)
+    np.testing.assert_allclose(rt["poses"], orig["poses"], atol=1e-6)
+    np.testing.assert_allclose(rt["obj_angles"], orig["obj_angles"],
+                               atol=1e-6)
+    np.testing.assert_allclose(rt["obj_trans"], orig["obj_trans"],
+                               atol=1e-6)
+    assert np.asarray(rt["recon_exist"]).all()
+    assert rt["gender"] == "male"

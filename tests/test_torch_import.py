@@ -72,7 +72,8 @@ class THourGlass(tnn.Module):
 
 
 class THGFilter(tnn.Module):
-    def __init__(self, in_ch, num_stack, depth, hg_dim, tmpx_dim):
+    def __init__(self, in_ch, num_stack, depth, hg_dim, tmpx_dim,
+                 groups=1):
         super().__init__()
         self.num_stack = num_stack
         self.conv1 = tnn.Conv2d(in_ch, tmpx_dim, 7, 2, 3)
@@ -85,10 +86,13 @@ class THGFilter(tnn.Module):
             self.add_module(f"top_m_{i}", TConvBlock(256, 256))
             self.add_module(f"conv_last{i}", tnn.Conv2d(256, 256, 1))
             self.add_module(f"bn_end{i}", tnn.GroupNorm(32, 256))
-            self.add_module(f"l{i}", tnn.Conv2d(256, hg_dim, 1))
+            self.add_module(f"l{i}", tnn.Conv2d(256, hg_dim, 1,
+                                                groups=groups))
             if i < num_stack - 1:
-                self.add_module(f"bl{i}", tnn.Conv2d(256, 256, 1))
-                self.add_module(f"al{i}", tnn.Conv2d(hg_dim, 256, 1))
+                self.add_module(f"bl{i}", tnn.Conv2d(256, 256, 1,
+                                                     groups=groups))
+                self.add_module(f"al{i}", tnn.Conv2d(hg_dim, 256, 1,
+                                                     groups=groups))
 
     def forward(self, x):
         x = tF.relu(self.bn1(self.conv1(x)))
@@ -129,6 +133,29 @@ def test_hgfilter_torch_parity(rng):
                                      jnp.asarray(x.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(j_tmpx).transpose(0, 3, 1, 2),
                                t_tmpx.numpy(), atol=2e-4)
+    for j, t in zip(j_outs, t_outs):
+        np.testing.assert_allclose(np.asarray(j).transpose(0, 3, 1, 2),
+                                   t.numpy(), atol=2e-3)
+
+
+def test_hgfilter_gconv_torch_parity(rng):
+    """HGFilterGConv (HGFilters.py:205-331): l/bl/al become grouped 1x1
+    convs with groups=256 = the hourglass width."""
+    torch.manual_seed(2)
+    num_stack, depth, hg_dim = 2, 1, 256
+    tmodel = THGFilter(5, num_stack, depth, hg_dim, tmpx_dim=64,
+                       groups=256).eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params = {"params": TI.hgfilter_params(sd, "", num_stack, depth)}
+
+    x = rng.randn(1, 5, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        t_outs, _ = tmodel(torch.from_numpy(x))
+
+    jmodel = HGFilter(HGConfig(input_channels=5, num_stack=num_stack,
+                               num_hourglass=depth, hourglass_dim=hg_dim,
+                               tmpx_dim=64, gconv=True))
+    j_outs, _, _ = jmodel.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
     for j, t in zip(j_outs, t_outs):
         np.testing.assert_allclose(np.asarray(j).transpose(0, 3, 1, 2),
                                    t.numpy(), atol=2e-3)

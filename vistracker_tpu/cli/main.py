@@ -494,6 +494,22 @@ def build_parser():
     ev.add_argument("--recon-seq", default=None,
                     help="sequence folder with per-frame fit pkls "
                          "(frame-folder mode; replaces --recon)")
+
+    # packed <-> per-frame file tools (tools/pack2separate.py,
+    # pack2separate_params.py, preprocess/pack_recon.py param path)
+    up = sub.add_parser("unpack", help="packed pkl -> per-frame "
+                        "k<kid>.smplfit_/objfit_<name>.pkl files")
+    up.add_argument("--packed", required=True, help="packed recon pkl")
+    up.add_argument("--seq", required=True, help="sequence folder")
+    up.add_argument("--save-name", default="track")
+    up.add_argument("--kid", type=int, default=1)
+
+    pk = sub.add_parser("pack", help="per-frame fit pkls -> packed pkl "
+                        "(dummy-fills missing frames, records recon_exist)")
+    pk.add_argument("--seq", required=True, help="sequence folder")
+    pk.add_argument("--out", required=True, help="output packed pkl path")
+    pk.add_argument("--save-name", default="track")
+    pk.add_argument("--kid", type=int, default=1)
     return p
 
 
@@ -1006,6 +1022,22 @@ def main(argv=None):
         run_render(args)
     elif args.cmd == "evaluate":
         run_evaluate(args)
+    elif args.cmd == "unpack":
+        from ..data.packed import load_packed, unpack_to_frames
+        written = unpack_to_frames(load_packed(args.packed), args.seq,
+                                   args.save_name, kid=args.kid)
+        print(f"unpacked {len(written)} frames to {args.seq}")
+    elif args.cmd == "pack":
+        from ..data.behave import FrameDataReader
+        from ..data.packed import pack_from_frames, save_packed
+        reader = FrameDataReader(args.seq)
+        packed = pack_from_frames(args.seq, reader.frames, args.save_name,
+                                  kid=args.kid)
+        packed["gender"] = reader.seq_info.get_gender()
+        save_packed(args.out, packed)
+        n_ok = int(np.asarray(packed["recon_exist"]).sum())
+        print(f"packed {len(reader.frames)} frames ({n_ok} with recon) "
+              f"-> {args.out}")
 
 
 if __name__ == "__main__":

@@ -193,9 +193,11 @@ def run_real_track(args):
     seg = getattr(args, "segment_iters", 0) or None
     opt_smpl = make_smpl_optimizer(query_fn, project_norm, smpl_model,
                                    landmarks, body_prior, hand_prior,
-                                   part_labels, jcfg, segment_iters=seg)
+                                   part_labels, jcfg, segment_iters=seg,
+                                   report_iters=True)
     opt_obj = make_object_optimizer(query_fn, project_px, jcfg,
-                                    segment_iters=seg)
+                                    segment_iters=seg, report_iters=True)
+    iters_log = {"smpl": [], "joint": []}
 
     from ..models.sifnet import pack_cache
     smpl_faces = jnp.asarray(smpl_model.faces)
@@ -381,7 +383,10 @@ def run_real_track(args):
                            mean_hands=mean_hands)
         (p2c_d, kpts_d), unpad = shard_chunk(
             (p2c, jnp.asarray(norm_kpts(kpts_all[sl], ccs))), len(chunk))
-        smpl_final, _ = opt_smpl(p2c_d, kpts_d, ctx)
+        smpl_final, _, it_s = opt_smpl(p2c_d, kpts_d, ctx)
+        iters_log["smpl"].append(int(it_s["smpl"]))
+        print(f"[vistracker]   optimize_smpl early-stopped at iter "
+              f"{iters_log['smpl'][-1]}/{it_s['smpl_max']}")
         smpl_final = unpad(smpl_final)
         smpl_pose[sl] = np.asarray(smpl_final.pose)
         smpl_betas[sl] = np.asarray(smpl_final.betas)
@@ -460,9 +465,12 @@ def run_real_track(args):
              jnp.asarray(obj_t0), jnp.ones(B), obj_pts_b, verts_f,
              jnp.asarray(occ_all[sl]), sil, sil_verts_b), B)
         r0_d, t0_d, s_d, opts_d, vf_d, occ_d, sil_d, sv_d = batched
-        r_fin, t_fin, _ = opt_obj(r0_d, t0_d, s_d, opts_d, vf_d,
-                                  part_labels, occ_d, sil_d, sv_d,
-                                  jnp.asarray(sil_faces), ctx)
+        r_fin, t_fin, _, it_o = opt_obj(r0_d, t0_d, s_d, opts_d, vf_d,
+                                        part_labels, occ_d, sil_d, sv_d,
+                                        jnp.asarray(sil_faces), ctx)
+        iters_log["joint"].append(int(it_o["joint"]))
+        print(f"[vistracker]   joint phase early-stopped at iter "
+              f"{iters_log['joint'][-1]}/{it_o['joint_max']}")
         r_fin, t_fin = unpad((r_fin, t_fin))
         obj_angles[sl] = np.asarray(r_fin)
         obj_trans[sl] = np.asarray(t_fin)
@@ -478,7 +486,12 @@ def run_real_track(args):
                   gender=reader.seq_info.get_gender())
     save_packed(outfile, packed)
     dt = time.time() - t_start
+    # measured early-stop iteration usage (weak spot in the round-1 review:
+    # the ~35% figure was asserted from the reference's behavior, not
+    # measured — this records what OUR early stop actually does per run)
+    its = {f"iters_{k}_mean": round(float(np.mean(v)), 1)
+           for k, v in iters_log.items() if v}
     print(json.dumps({"packed": outfile, "frames": len(frames),
                       "seconds": round(dt, 1),
-                      "fps": round(len(frames) / dt, 2)}))
+                      "fps": round(len(frames) / dt, 2), **its}))
     return outfile

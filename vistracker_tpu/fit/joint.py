@@ -309,7 +309,8 @@ def make_smpl_optimizer(query_fn, project_fn, model: SMPLModel,
                         body_prior: MahalanobisPrior, hand_prior: HandPrior,
                         part_labels: np.ndarray,
                         cfg: JointFitConfig = JointFitConfig(),
-                        segment_iters: int | None = None):
+                        segment_iters: int | None = None,
+                        report_iters: bool = False):
     """Build the jit'd optimize_smpl program ONCE per model; run per chunk.
 
     query_fn(ctx, points (B,N,3)) -> head dict (df (B,N,2), parts, ...);
@@ -425,10 +426,12 @@ def make_smpl_optimizer(query_fn, project_fn, model: SMPLModel,
             pdict = dataclasses.asdict(smpl)
             pdict, l1, _ = run1(pdict, env, cfg.iter_betas,
                                 seg=segment_iters)
-            pdict, l23, _ = run23(pdict, env, n23,
-                                  min23 if cfg.early_stop else -1.0,
-                                  segment_iters)
-            return SMPLTParams(**pdict), jnp.stack([l1, l23])
+            pdict, l23, it23 = run23(pdict, env, n23,
+                                     min23 if cfg.early_stop else -1.0,
+                                     segment_iters)
+            out = SMPLTParams(**pdict), jnp.stack([l1, l23])
+            return out + ({"smpl": it23, "smpl_max": n23},) if report_iters \
+                else out
 
         return optimize_smpl_segmented
 
@@ -443,12 +446,15 @@ def make_smpl_optimizer(query_fn, project_fn, model: SMPLModel,
 
         loss23 = lambda p, d: loss23_env(p, d, env)
         if cfg.early_stop:
-            pdict, last, _ = _adam_while(loss23, pdict, lrs23, n23, spi,
-                                         decay23, cfg.smpl_rel_tol, min23)
+            pdict, last, it23 = _adam_while(loss23, pdict, lrs23, n23, spi,
+                                            decay23, cfg.smpl_rel_tol, min23)
             l23 = last[None]
         else:
             pdict, l23 = _adam_scan(loss23, pdict, lrs23, n23 * spi, decay23)
-        return SMPLTParams(**pdict), jnp.concatenate([l1, l23])
+            it23 = jnp.int32(n23)
+        out = SMPLTParams(**pdict), jnp.concatenate([l1, l23])
+        return out + ({"smpl": it23, "smpl_max": n23},) if report_iters \
+            else out
 
     return optimize_smpl
 
@@ -459,7 +465,8 @@ def make_smpl_optimizer(query_fn, project_fn, model: SMPLModel,
 
 def make_object_optimizer(query_fn, project_px,
                           cfg: JointFitConfig = JointFitConfig(),
-                          segment_iters: int | None = None):
+                          segment_iters: int | None = None,
+                          report_iters: bool = False):
     """Build the jit'd optimize_smpl_object program.
 
     query_fn(ctx, points (B,N,3)) -> head dict; project_px(ctx, points
@@ -649,11 +656,14 @@ def make_object_optimizer(query_fn, project_px,
                 env3["sdf_grid"] = sdf_grid
             labels_o, mask_h, mask_o = masks_jit(params, env3)
             env3.update(labels_o=labels_o, mask_h=mask_h, mask_o=mask_o)
-            params, l3, _ = run3(params, env3, cfg.joint_max_iter,
-                                 min_j if cfg.early_stop else -1.0,
-                                 segment_iters)
+            params, l3, it_j = run3(params, env3, cfg.joint_max_iter,
+                                    min_j if cfg.early_stop else -1.0,
+                                    segment_iters)
             r_final = decopose_axis(params["obj_r"])
-            return r_final, params["obj_t"], jnp.stack([l1, l2, l3])
+            out = r_final, params["obj_t"], jnp.stack([l1, l2, l3])
+            return out + ({"joint": it_j,
+                           "joint_max": cfg.joint_max_iter},) \
+                if report_iters else out
 
         return optimize_object_segmented
 
@@ -682,15 +692,18 @@ def make_object_optimizer(query_fn, project_px,
         env3.update(labels_o=labels_o, mask_h=mask_h, mask_o=mask_o)
         loss_joint = lambda p, d: loss_joint_env(p, d, env3)
         if cfg.early_stop:
-            params, last, _ = _adam_while(loss_joint, params, lrs_j,
-                                          cfg.joint_max_iter, spi, decay_j,
-                                          cfg.joint_rel_tol, min_j)
+            params, last, it_j = _adam_while(loss_joint, params, lrs_j,
+                                             cfg.joint_max_iter, spi, decay_j,
+                                             cfg.joint_rel_tol, min_j)
             l3 = last[None]
         else:
             params, l3 = run_phase(loss_joint, params, lrs_j,
                                    cfg.joint_max_iter, decay_j)
+            it_j = jnp.int32(cfg.joint_max_iter)
 
         r_final = decopose_axis(params["obj_r"])
-        return r_final, params["obj_t"], jnp.concatenate([l1, l2, l3])
+        out = r_final, params["obj_t"], jnp.concatenate([l1, l2, l3])
+        return out + ({"joint": it_j, "joint_max": cfg.joint_max_iter},) \
+            if report_iters else out
 
     return optimize_object

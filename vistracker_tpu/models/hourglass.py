@@ -33,6 +33,10 @@ class HGConfig:
     hg_features: int = 256       # internal hourglass width
     norm_groups: int = 32
     hg_down: str = "ave_pool"
+    # HGFilterGConv variant (HGFilters.py:205-331): the 1x1 stack-coupling
+    # convs (l/bl/al) become grouped convs with groups=256. Requires
+    # hourglass_dim % hg_features == 0 for l{i} (torch grouped-conv rule).
+    gconv: bool = False
     dtype: object = jnp.float32
 
 
@@ -99,7 +103,8 @@ class HourGlass(nn.Module):
 
 
 class HGFilter(nn.Module):
-    """Stacked hourglass encoder.
+    """Stacked hourglass encoder (cfg.gconv=True gives the HGFilterGConv
+    variant, HGFilters.py:205-331: grouped 1x1 stack-coupling convs).
 
     Input (B, H, W, C) -> (list of per-stack (B, H/4, W/4, hourglass_dim),
     tmpx (B, H/2, W/2, tmpx_dim), normx). tmpx is NOT detached here — the
@@ -114,6 +119,11 @@ class HGFilter(nn.Module):
         c = self.cfg
         conv = lambda ch, k, s, p, name: nn.Conv(
             ch, (k, k), strides=(s, s), padding=p, name=name, dtype=c.dtype)
+        # stack-coupling 1x1 convs; grouped in the GConv variant
+        gc = c.hg_features if c.gconv else 1
+        gconv1x1 = lambda ch, name: nn.Conv(
+            ch, (1, 1), padding=0, feature_group_count=gc, name=name,
+            dtype=c.dtype)
         x = conv(c.tmpx_dim, 7, 2, 3, "conv1")(x)
         x = nn.relu(_norm(c.norm_groups, "bn1", c.dtype)(x))
         tmpx = x
@@ -136,10 +146,10 @@ class HGFilter(nn.Module):
                            dtype=c.dtype, name=f"top_m_{i}")(hg)
             ll = conv(c.hg_features, 1, 1, 0, f"conv_last{i}")(ll)
             ll = nn.relu(_norm(c.norm_groups, f"bn_end{i}", c.dtype)(ll))
-            tmp_out = conv(c.hourglass_dim, 1, 1, 0, f"l{i}")(ll)
+            tmp_out = gconv1x1(c.hourglass_dim, f"l{i}")(ll)
             outputs.append(tmp_out)
             if i < c.num_stack - 1:
-                ll_ = conv(c.hg_features, 1, 1, 0, f"bl{i}")(ll)
-                tmp_out_ = conv(c.hg_features, 1, 1, 0, f"al{i}")(tmp_out)
+                ll_ = gconv1x1(c.hg_features, f"bl{i}")(ll)
+                tmp_out_ = gconv1x1(c.hg_features, f"al{i}")(tmp_out)
                 previous = previous + ll_ + tmp_out_
         return outputs, tmpx, normx
