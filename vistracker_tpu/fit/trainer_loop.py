@@ -76,13 +76,26 @@ class CheckpointIO:
     def restore_latest(self, template=None):
         """Restore the newest checkpoint. With a template the result has the
         template's exact structure/dtypes; without one the raw pytree (dicts
-        of arrays) is returned."""
+        of arrays) is returned.
+
+        Template-free restores go through numpy: orbax otherwise replays
+        the sharding metadata recorded at save time, so a checkpoint
+        written in a TPU process would refuse to load in a CPU process
+        (ValueError: Device TPU... not found in jax.local_devices())."""
         import orbax.checkpoint as ocp
         step = self.mngr.latest_step()
         if step is None:
             return None, None
         if template is None:
-            state = self.mngr.restore(step)
+            path = os.path.join(self.dir, str(step), "default")
+            ckptr = ocp.PyTreeCheckpointer()
+            meta = ckptr.metadata(path)
+            meta = getattr(meta, "item_metadata", meta)
+            tree = getattr(meta, "tree", meta)
+            restore_args = jax.tree.map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+            state = ckptr.restore(
+                path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
         else:
             state = self.mngr.restore(step,
                                       args=ocp.args.StandardRestore(template))
