@@ -32,7 +32,7 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
-    from vistracker_tpu.data.packed import load_packed
+    from vistracker_tpu.data.packed import load_packed_recon as load_packed
     from vistracker_tpu.core.smpl import load_smpl_pkl, lbs_forward
     from vistracker_tpu.core.landmarks import load_landmarks
     from vistracker_tpu.core.rotations import axis_angle_to_rotmat
@@ -62,15 +62,15 @@ def main():
                                  jnp.asarray(recon.betas),
                                  jnp.asarray(recon.trans))
     bc = np.asarray(lms.smpl_center(verts))
-    t_neural = np.asarray(recon.extras["neural_trans"]) + bc
-    pred_vis = np.asarray(recon.extras["neural_visibility"]).reshape(-1)
+    t_neural = np.asarray(recon.neural_trans) + bc
+    pred_vis = np.asarray(recon.neural_visibility).reshape(-1)
 
     temp_v, _ = load_ply(osp.join(str(fx["objects_root"]), "boxmedium",
                                   "boxmedium.ply"))
     temp_v = temp_v - temp_v.mean(0)
     pca_init = compute_pca_axes(temp_v)
     rot_init = np.asarray(init_object_orientation(
-        jnp.asarray(recon.extras["neural_pca"]),
+        jnp.asarray(recon.neural_pca),
         jnp.broadcast_to(jnp.asarray(pca_init), (T, 3, 3))))
 
     # final stage-6 pose (packed obj_angles are transposed)

@@ -73,7 +73,7 @@ def build_training_frames(fx, model, landmarks, crop_size, net_size):
 
 
 def train_sifnet(frames, part_labels, out_dir, crop_size, net_size,
-                 epochs, samples, lr=1e-3):
+                 epochs, samples, lr=1e-3, grid_ratio=0.01):
     import jax
     import jax.numpy as jnp
     from vistracker_tpu.models.sifnet import SIFNet, SIFNetConfig
@@ -91,12 +91,21 @@ def train_sifnet(frames, part_labels, out_dir, crop_size, net_size,
                        crop_size=crop_size, remat=True)
     model = SIFNet(cfg, PerspectiveCamera(crop_size=crop_size))
 
+    ep = [0]
+
     def example(i):
+        # fresh samples each epoch; a raised grid_ratio floods empty space
+        # with uniform points so the tiny overfit net cannot keep spurious
+        # low-df pockets (the round-2 probe found ~10% of random volume
+        # points under df 0.05, which poisoned the generator's center avg)
+        ep[0] += 1
         return sifnet_example(frames[i], part_labels, num_samples=samples,
-                              rng=np.random.RandomState(i * 7919 + 13))
+                              grid_ratio=grid_ratio,
+                              rng=np.random.RandomState(
+                                  i * 7919 + 13 + ep[0]))
 
     loader = PrefetchLoader(example, len(frames), batch_size=4,
-                            num_workers=6)
+                            num_workers=10)
     # df clamp: the release value (clamp_thres 0.1, torch.clamp semantics =
     # zero gradient above the clamp) is a TRAP at this overfit scale — the
     # x1000-weighted center/vis losses shift the shared features until
@@ -265,7 +274,8 @@ def run_phase(args):
                                              args.crop_size, args.net_size)
         log("training SIF-Net (overfit on the sequence)...")
         train_sifnet(frames, part_labels, out, args.crop_size,
-                     args.net_size, args.sif_epochs, args.sif_samples)
+                     args.net_size, args.sif_epochs, args.sif_samples,
+                     grid_ratio=args.grid_ratio)
         return _mark_done(out)
     if phase == "train-sn":
         out_s, out_r = osp.join(args.out, "sn_smpl"), osp.join(args.out,
@@ -301,6 +311,9 @@ def run_phase(args):
             # bounded device programs: the tunnel kills multi-minute
             # single executions (full-budget stage-6 phases exceed that)
             "--segment-iters", "5",
+            # median center/pca aggregation: robust to the tiny net's
+            # residual spurious-low-df pockets (see --grid-ratio note)
+            "--robust-centers",
             "--crop-size", str(args.crop_size), "--save-name", "fixture"])
         run_real_track(targs)  # is_done resume: skips if the pack exists
         return
@@ -348,6 +361,10 @@ def main():
     ap.add_argument("--chunk-size", type=int, default=30)
     ap.add_argument("--sif-epochs", type=int, default=60)
     ap.add_argument("--sif-samples", type=int, default=2500)
+    ap.add_argument("--grid-ratio", type=float, default=0.15,
+                    help="uniform far-field sample fraction during SIF-Net "
+                         "training (reference 0.01; the overfit-scale "
+                         "fixture needs dense empty-space coverage)")
     ap.add_argument("--results", default="results/fixture_eval.json")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--phase", choices=PHASES, default=None)
@@ -369,7 +386,8 @@ def main():
     base = [sys.executable, osp.abspath(__file__)]
     fwd = []
     for k in ("out", "frames", "raster", "net_size", "crop_size",
-              "chunk_size", "sif_epochs", "sif_samples", "results"):
+              "chunk_size", "sif_epochs", "sif_samples", "grid_ratio",
+              "results"):
         fwd += ["--" + k.replace("_", "-"), str(getattr(args, k))]
     if args.cpu:
         fwd.append("--cpu")

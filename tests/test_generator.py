@@ -99,3 +99,46 @@ def test_df_only_fast_path_matches_full():
     np.testing.assert_allclose(np.asarray(out_fast["human"]["points"]),
                                np.asarray(out_slow["human"]["points"]),
                                atol=1e-6)
+
+
+def test_generator_median_center_rejects_spurious_pockets():
+    """center_agg="median": a second spurious low-df pocket contributing
+    <50% of harvested points (with a wildly wrong center prediction there)
+    must not move the aggregated center; the reference mean is dragged."""
+    POCKET = np.array([1.0, 1.2, 2.9], np.float32)  # inside the search box
+
+    def two_min_query(params, cache, points, crop_center, body_center):
+        d1 = jnp.abs(jnp.linalg.norm(points - jnp.asarray(CENTER), axis=-1)
+                     - RADIUS)
+        d2 = jnp.abs(jnp.linalg.norm(points - jnp.asarray(POCKET), axis=-1)
+                     - 0.1)  # small spurious shell
+        df = jnp.minimum(d1, d2)
+        B, N = df.shape
+        # center head: correct near the real sphere, garbage in the pocket
+        near_pocket = (d2 < d1)[..., None]
+        cent = jnp.where(near_pocket,
+                         jnp.asarray([9.0, 9.0, 9.0]),
+                         jnp.asarray([1.0, 2.0, 3.0]))
+        return dict(df=jnp.stack([df, df], -1),
+                    parts=jnp.zeros((B, N, 14)),
+                    pca=jnp.broadcast_to(jnp.eye(3), (B, N, 3, 3)),
+                    centers=jnp.broadcast_to(cent, (B, N, 3)),
+                    vis=jnp.full((B, N, 1), 1.0))
+
+    kw = dict(num_steps=10, num_rounds=2, samples_per_round=1024,
+              num_points=256, noise_sigma=0.05)
+    body_center = jnp.asarray(CENTER)[None]
+    crop_center = jnp.zeros((1, 2))
+    out_mean = make_generator(two_min_query, GeneratorConfig(**kw))(
+        None, None, crop_center, body_center, jax.random.PRNGKey(3))
+    out_med = make_generator(
+        two_min_query, GeneratorConfig(center_agg="median", **kw))(
+        None, None, crop_center, body_center, jax.random.PRNGKey(3))
+    # the big sphere dominates the harvest, so the median sticks to the
+    # true head value while the mean is visibly polluted
+    med_err = np.abs(np.asarray(out_med["object"]["centers"])
+                     - [1.0, 2.0, 3.0]).max()
+    mean_err = np.abs(np.asarray(out_mean["object"]["centers"])
+                      - [1.0, 2.0, 3.0]).max()
+    assert med_err < 1e-4, med_err
+    assert mean_err > 0.05, mean_err

@@ -370,6 +370,10 @@ def build_parser():
     tr.add_argument("--infiller-ckpt", help="cmf-k4-lrot checkpoint")
     tr.add_argument("--smoothnet-smpl-ckpt")
     tr.add_argument("--smoothnet-objrot-ckpt")
+    tr.add_argument("--robust-centers", action="store_true",
+                    help="median (instead of reference mean) aggregation "
+                         "of neural object centers/pca over surface points "
+                         "— robust to spurious low-df pockets of weak nets")
     tr.add_argument("--smpl-query-points", type=int, default=0,
                     help="subsample SMPL verts in the stage-6 df losses "
                          "(speed opt-in; 0 = all 6890, reference parity)")

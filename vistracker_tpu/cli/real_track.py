@@ -173,7 +173,9 @@ def run_real_track(args):
     jcfg = JointFitConfig(
         early_stop=True,
         smpl_query_points=getattr(args, "smpl_query_points", 0) or 0)
-    gen_cfg = GeneratorConfig()
+    gen_cfg = GeneratorConfig(
+        center_agg="median" if getattr(args, "robust_centers", False)
+        else "mean")
     generate = make_generator(sifnet_query_fn(sifnet), gen_cfg)
     run_infill = make_infiller(infiller, inf_cfg)
     os.makedirs(args.out, exist_ok=True)

@@ -118,6 +118,7 @@ class PrefetchLoader:
 def sifnet_example(frame: dict, part_labels: np.ndarray,
                    num_samples: int = 20000,
                    sigmas=(0.08, 0.02, 0.003), ratios=(0.01, 0.49, 0.5),
+                   grid_ratio: float = 0.01,
                    rng: np.random.RandomState | None = None) -> dict:
     """Build one SIF-Net training example from a prepared frame dict:
     {image (H, W, 8) float32 — RGBM3 + triplane channels,
@@ -131,7 +132,7 @@ def sifnet_example(frame: dict, part_labels: np.ndarray,
     labels = boundary_sample(frame["smpl_verts"], frame["smpl_faces"],
                              frame["obj_verts"], frame["obj_faces"],
                              part_labels, sigmas, ratios, num_samples,
-                             rng=rng)
+                             grid_ratio=grid_ratio, rng=rng)
     n = len(labels["points"])
     return dict(
         images=frame["image"].astype(np.float32),

@@ -37,6 +37,12 @@ class GeneratorConfig:
     noise_sigma: float = 2.0 / 3.0  # threshold / 3 resampling perturbation
     # init box half-extents around body center (generator_triplane.py:32-55)
     box: tuple = (1.0, 1.5, 0.6)
+    # center/pca aggregation over harvested surface points. "mean" is the
+    # reference (compose_outdict averages); "median" is a robust opt-in for
+    # weak nets whose df field has spurious low-df pockets — false surface
+    # points then contribute arbitrary center predictions, and the
+    # coordinate-wise median rejects them as long as most points are real.
+    center_agg: str = "mean"
 
 
 def init_box_samples(key, batch_size: int, n: int, body_center: jax.Array,
@@ -169,14 +175,21 @@ def make_generator(query_fn, cfg: GeneratorConfig = GeneratorConfig()):
             return (x * m).sum(axis=1) / denom.reshape(
                 (B,) + (1,) * (x.ndim - 2))
 
+        def masked_median(x):
+            # coordinate-wise median over valid points (nan-masked)
+            m = vmask.reshape(vmask.shape + (1,) * (x.ndim - 2)) > 0
+            med = jnp.nanmedian(jnp.where(m, x, jnp.nan), axis=1)
+            return jnp.where(jnp.isnan(med), 0.0, med)
+
+        agg = masked_median if cfg.center_agg == "median" else masked_mean
         sel_pts = take(pts)
         sel_parts = jnp.argmax(take(flat(rounds["parts"])), axis=-1)
         return dict(
             points=sel_pts,
             valid=sel_valid,
             parts=sel_parts.astype(jnp.int32),
-            pca_axis=masked_mean(take(flat(rounds["pca"]))),
-            centers=masked_mean(take(flat(rounds["centers"]))),
+            pca_axis=agg(take(flat(rounds["pca"]))),
+            centers=agg(take(flat(rounds["centers"]))),
             visibility=masked_mean(take(flat(rounds["vis"]))),
         )
 
