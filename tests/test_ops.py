@@ -123,3 +123,10 @@ def test_selective_pack_cache_parity(rng):
     for k in ref:
         np.testing.assert_allclose(np.asarray(ref[k]), np.asarray(mixed[k]),
                                    atol=1e-5, err_msg=k)
+    # pack_hg=False leaves the hourglass maps raw (32-frame-chunk memory
+    # policy); tmpx-only packing must still be exact
+    mixed2 = model.apply(params, pack_cache(cache, pack_hg=False), pts, cc,
+                         bc, method=SIFNet.query)[-1]
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(ref[k]), np.asarray(mixed2[k]),
+                                   atol=1e-5, err_msg=k)

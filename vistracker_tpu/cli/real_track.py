@@ -270,11 +270,19 @@ def run_real_track(args):
         B = len(images)
         cache = sifnet.apply(sif_params, jnp.asarray(images),
                              method=SIFNet.encode)
-        # corner packing (PERF_NOTES.md); packing the half-res stem maps too
-        # quadruples the dominant memory term — only below ~2 GB
+        # corner packing (PERF_NOTES.md) is a gather optimization paid in
+        # 4x cache memory — apply each group only under a byte budget
+        # (release sizes: hg packed ~200 MB/frame, stem packed ~100
+        # MB/frame; a 32-frame chunk with everything packed crowds out the
+        # optimizer working set and crashes the worker)
+        hg_px = (args.net_size // 4) ** 2
+        hg_bytes = 4 * B * hg_px * 4 * (
+            sif_cfg.num_stack * sif_cfg.hourglass_dim
+            + 3 * sif_cfg.triplane_stack * sif_cfg.triplane_hg_dim)
         tmpx_bytes = 4 * B * (args.net_size // 2) ** 2 * 4 * (
             sif_cfg.tmpx_dim + 3 * sif_cfg.triplane_tmpx_dim)
-        return pack_cache(cache, pack_tmpx=tmpx_bytes < 2e9)
+        return pack_cache(cache, pack_tmpx=tmpx_bytes < 2e9,
+                          pack_hg=hg_bytes < 2e9)
 
     def norm_kpts(k, ccs):
         xy = 2.0 * (args.crop_size / 2 + k[..., :2]

@@ -38,7 +38,8 @@ from ..ops.grid_sample import (grid_sample_points, grid_sample_points_packed,
                                pack_corners)
 
 
-def pack_cache(cache: dict, pack_tmpx: bool = True) -> dict:
+def pack_cache(cache: dict, pack_tmpx: bool = True,
+               pack_hg: bool = True) -> dict:
     """Repack an encode() cache into the corner-packed layout: sampling then
     needs ONE gather per point per map instead of four (TPU gathers are
     row-count bound, PERF_NOTES.md). 4x cache memory; numerically exact.
@@ -48,16 +49,23 @@ def pack_cache(cache: dict, pack_tmpx: bool = True) -> dict:
     pack_tmpx=False leaves the half-resolution stem maps (tmpx/tp_tmpx)
     unpacked — they are 4x the pixels of the hourglass maps, and packing
     them quadruples the dominant memory term (e.g. 96 frames at 512² would
-    exceed one chip's HBM). Mixed caches work: per-map packing is detected
-    by each map's own marker entry.
+    exceed one chip's HBM). pack_hg=False likewise leaves the hourglass
+    maps unpacked — at 32+ frame optimization chunks with the release net
+    even the packed hg maps are several GB and crowd out the optimizer's
+    working set (the gather savings are then not worth the HBM). Mixed
+    caches work: per-map packing is detected by each map's own marker
+    entry.
     """
     # markers are EMPTY TUPLES: pytree structure (static under jit),
     # not traced leaves like bools would be
     out = dict(
-        packed=(),
-        rgb_feats=[pack_corners(f) for f in cache["rgb_feats"]],
-        tp_feats=[[pack_corners(f) for f in fl] for fl in cache["tp_feats"]],
+        rgb_feats=([pack_corners(f) for f in cache["rgb_feats"]]
+                   if pack_hg else list(cache["rgb_feats"])),
+        tp_feats=([[pack_corners(f) for f in fl] for fl in cache["tp_feats"]]
+                  if pack_hg else [list(fl) for fl in cache["tp_feats"]]),
     )
+    if pack_hg:
+        out["packed"] = ()
     if pack_tmpx:
         out["tmpx_packed"] = ()
         out["tmpx"] = pack_corners(cache["tmpx"])
