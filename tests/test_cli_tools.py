@@ -165,3 +165,32 @@ def test_pack_unpack_cli_roundtrip(tmp_path, rng, capsys):
                                atol=1e-6)
     assert np.asarray(rt["recon_exist"]).all()
     assert rt["gender"] == "male"
+
+
+def test_evaluate_cli_angles(tmp_path, rng, capsys):
+    """--angles adds the angle evaluator's rotation errors (degrees) to the
+    output JSON (evalvideo_packed_angle.py parity)."""
+    from test_real_track import _make_fake_smplh_pkl
+
+    seq_name = "Date05_Sub05_boxsmall"
+    smpl_pkl = str(tmp_path / "SMPLH_male.pkl")
+    _make_fake_smplh_pkl(smpl_pkl, rng)
+    bv, bf = box_mesh()
+    temp = str(tmp_path / "box.ply")
+    save_ply(temp, bv, bf)
+    gt_root, recon_root = _write_packs(tmp_path, rng, seq_name)
+    cli_main(["evaluate",
+              "--recon", os.path.join(recon_root, "recon_tr",
+                                      f"{seq_name}_k1.pkl"),
+              "--gt", os.path.join(gt_root, f"{seq_name}_GT-packed.pkl"),
+              "--template", temp, "--smpl-model", smpl_pkl,
+              "--window", "2", "--angles",
+              "--out", str(tmp_path / "results"), "--cpu"])
+    outfile = capsys.readouterr().out.strip().splitlines()[-1]
+    with open(outfile) as f:
+        res = json.load(f)
+    assert "rot_error" in res
+    # recon stores the exact GT rotations (transposed), so the geodesic
+    # error is numerically ~0 degrees
+    assert 0 <= res["rot_error"]["mean"] < 0.1
+    assert f"{seq_name}_k1" in res["rot_error_separate"]

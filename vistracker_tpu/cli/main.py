@@ -490,6 +490,9 @@ def build_parser():
     ev.add_argument("--window", type=int, default=300)
     ev.add_argument("--smpl-only", action="store_true",
                     help="align on SMPL verts only")
+    ev.add_argument("--angles", action="store_true",
+                    help="also report object rotation errors in degrees "
+                         "(evalvideo_packed_angle.py)")
     ev.add_argument("--out", default="results")
     ev.add_argument("--cpu", action="store_true")
     # frame-folder mode (recon/eval/evaluate.py ReconEvaluator): gather
@@ -944,6 +947,23 @@ def _eval_one(model, recon_path, gt_path, temp_v, temp_f, window, smpl_only):
                          smpl_only=smpl_only)
 
 
+def _rot_errors(recon_path, gt_path):
+    """Per-frame object rotation errors in degrees — the angle evaluator
+    (recon/eval/evalvideo_packed_angle.py: GT axis-angle -> matrix vs the
+    packed transposed recon rotations, geodesic angle per frame)."""
+    from scipy.spatial.transform import Rotation
+    from ..data.packed import load_packed, load_packed_recon
+    from ..eval.evaluator import rotation_errors_deg
+    rec = load_packed_recon(recon_path)
+    gt = load_packed(gt_path)
+    ga = np.asarray(gt["obj_angles"])
+    rot_gt = (Rotation.from_rotvec(ga).as_matrix() if ga.ndim == 2
+              else np.asarray(ga))
+    rot_rc = np.asarray(rec.obj_angles).transpose(0, 2, 1)
+    errs = rotation_errors_deg(rot_rc, rot_gt)
+    return errs[np.asarray(rec.recon_exist, bool)]
+
+
 def run_evaluate(args):
     from ..utils.mesh import load_ply
     from ..core.smpl import load_smpl_pkl
@@ -952,6 +972,7 @@ def run_evaluate(args):
 
     model = load_smpl_pkl(args.smpl_model)
     errors = {}
+    rot_errors = {}
     if args.split:
         with open(args.split) as f:
             seqs = json.load(f)["seqs"]
@@ -964,7 +985,10 @@ def run_evaluate(args):
             print(f"[evaluate] {seq}")
             errors[seq] = _eval_one(model, recon, gt, temp_v, temp_f,
                                     args.window, args.smpl_only)
-        out = collect_results(errors, args.out, args.save_name)
+            if args.angles:
+                rot_errors[seq] = _rot_errors(recon, gt)
+        out = collect_results(errors, args.out, args.save_name,
+                              extra=_rot_extra(rot_errors))
     else:
         recon = args.recon
         if getattr(args, "recon_seq", None):
@@ -991,8 +1015,22 @@ def run_evaluate(args):
         seq_name = os.path.basename(recon).replace(".pkl", "")
         errors[seq_name] = _eval_one(model, recon, args.gt, temp_v,
                                      temp_f, args.window, args.smpl_only)
-        out = collect_results(errors, args.out, args.save_name)
+        if args.angles:
+            rot_errors[seq_name] = _rot_errors(recon, args.gt)
+        out = collect_results(errors, args.out, args.save_name,
+                              extra=_rot_extra(rot_errors))
     print(out)
+
+
+def _rot_extra(rot_errors: dict):
+    if not rot_errors:
+        return None
+    allr = np.concatenate(list(rot_errors.values()))
+    return {"rot_error": {"mean": float(allr.mean()),
+                          "std": float(allr.std())},
+            "rot_error_separate": {
+                k: {"mean": float(v.mean()), "std": float(v.std())}
+                for k, v in sorted(rot_errors.items())}}
 
 
 def main(argv=None):
