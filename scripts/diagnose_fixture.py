@@ -18,9 +18,8 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 
 def geodesic_deg(Ra, Rb):
-    rel = np.einsum("tij,tkj->tik", Ra, Rb)
-    tr = np.clip((np.trace(rel, axis1=1, axis2=2) - 1) / 2, -1, 1)
-    return np.degrees(np.arccos(tr))
+    from vistracker_tpu.eval.evaluator import rotation_errors_deg
+    return rotation_errors_deg(Ra, Rb)
 
 
 def main():
@@ -55,7 +54,10 @@ def main():
     vis = occ > 0.5
 
     # stage-4 neural center: neural_trans is relative to the SMPL body
-    # center of the tracked body (recon poses)
+    # center. At inference the base was the stage-2 smoothed body center;
+    # the pack stores the stage-6a refined poses, so the base recomputed
+    # here carries a cm-scale bias — fine for attributing the ~0.4 m
+    # object-center failure, not for cm-accurate stage-4 numbers.
     model = load_smpl_pkl(str(fx["model_pkl"]))
     lms = load_landmarks(osp.join(args.run, "data", "assets"))
     verts, _, _, _ = lbs_forward(model, jnp.asarray(recon.poses),
@@ -69,9 +71,13 @@ def main():
                                   "boxmedium.ply"))
     temp_v = temp_v - temp_v.mean(0)
     pca_init = compute_pca_axes(temp_v)
+    # init_object_orientation returns the packed/row-vector convention;
+    # transpose to REAL rotations like real_track does before smoothing
+    # (real_track.py: rot_real = rot_init.transpose(0, 2, 1))
     rot_init = np.asarray(init_object_orientation(
         jnp.asarray(recon.neural_pca),
-        jnp.broadcast_to(jnp.asarray(pca_init), (T, 3, 3))))
+        jnp.broadcast_to(jnp.asarray(pca_init), (T, 3, 3))
+    )).transpose(0, 2, 1)
 
     # final stage-6 pose (packed obj_angles are transposed)
     rot_fin = np.asarray(recon.obj_angles).transpose(0, 2, 1)
@@ -85,8 +91,9 @@ def main():
             if mask is not None:
                 msk = msk & mask
             out[label] = float(np.mean(err[msk])) if msk.any() else None
-        print(f"{name:38s} all={out['all']:.4g}  vis={out['visible']:.4g}  "
-              f"occ={out['occluded'] if out['occluded'] is None else round(out['occluded'], 4)}")
+        fmt = lambda v: "n/a" if v is None else f"{v:.4g}"
+        print(f"{name:38s} all={fmt(out['all'])}  "
+              f"vis={fmt(out['visible'])}  occ={fmt(out['occluded'])}")
         return out
 
     print(f"frames={T}, visible={int(vis.sum())}, occluded={int((~vis).sum())}")

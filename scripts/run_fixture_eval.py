@@ -91,18 +91,23 @@ def train_sifnet(frames, part_labels, out_dir, crop_size, net_size,
                        crop_size=crop_size, remat=True)
     model = SIFNet(cfg, PerspectiveCamera(crop_size=crop_size))
 
-    ep = [0]
+    import itertools
+    import threading
+    calls = itertools.count()
+    calls_lock = threading.Lock()
 
     def example(i):
         # fresh samples each epoch; a raised grid_ratio floods empty space
         # with uniform points so the tiny overfit net cannot keep spurious
         # low-df pockets (the round-2 probe found ~10% of random volume
-        # points under df 0.05, which poisoned the generator's center avg)
-        ep[0] += 1
+        # points under df 0.05, which poisoned the generator's center avg).
+        # The counter is locked: PrefetchLoader calls example() from
+        # several worker threads.
+        with calls_lock:
+            c = next(calls)
         return sifnet_example(frames[i], part_labels, num_samples=samples,
                               grid_ratio=grid_ratio,
-                              rng=np.random.RandomState(
-                                  i * 7919 + 13 + ep[0]))
+                              rng=np.random.RandomState(i * 7919 + 13 + c))
 
     loader = PrefetchLoader(example, len(frames), batch_size=4,
                             num_workers=10)

@@ -275,10 +275,11 @@ def run_real_track(args):
         # (release sizes: hg packed ~200 MB/frame, stem packed ~100
         # MB/frame; a 32-frame chunk with everything packed crowds out the
         # optimizer working set and crashes the worker)
+        # inference caches keep only the LAST stack per encoder
+        # (SIFNet.encode: rgb_feats[-1:]), so one hg map per encoder
         hg_px = (args.net_size // 4) ** 2
         hg_bytes = 4 * B * hg_px * 4 * (
-            sif_cfg.num_stack * sif_cfg.hourglass_dim
-            + 3 * sif_cfg.triplane_stack * sif_cfg.triplane_hg_dim)
+            sif_cfg.hourglass_dim + 3 * sif_cfg.triplane_hg_dim)
         tmpx_bytes = 4 * B * (args.net_size // 2) ** 2 * 4 * (
             sif_cfg.tmpx_dim + 3 * sif_cfg.triplane_tmpx_dim)
         return pack_cache(cache, pack_tmpx=tmpx_bytes < 2e9,
@@ -395,7 +396,9 @@ def run_real_track(args):
             (p2c, jnp.asarray(norm_kpts(kpts_all[sl], ccs))), len(chunk))
         smpl_final, _, it_s = opt_smpl(p2c_d, kpts_d, ctx)
         iters_log["smpl"].append(int(it_s["smpl"]))
-        print(f"[vistracker]   optimize_smpl early-stopped at iter "
+        tag = ("early-stopped at"
+               if iters_log["smpl"][-1] < it_s["smpl_max"] else "ran full")
+        print(f"[vistracker]   optimize_smpl {tag} iter "
               f"{iters_log['smpl'][-1]}/{it_s['smpl_max']}")
         smpl_final = unpad(smpl_final)
         smpl_pose[sl] = np.asarray(smpl_final.pose)
@@ -479,7 +482,9 @@ def run_real_track(args):
                                         part_labels, occ_d, sil_d, sv_d,
                                         jnp.asarray(sil_faces), ctx)
         iters_log["joint"].append(int(it_o["joint"]))
-        print(f"[vistracker]   joint phase early-stopped at iter "
+        tag = ("early-stopped at"
+               if iters_log["joint"][-1] < it_o["joint_max"] else "ran full")
+        print(f"[vistracker]   joint phase {tag} iter "
               f"{iters_log['joint'][-1]}/{it_o['joint_max']}")
         r_fin, t_fin = unpad((r_fin, t_fin))
         obj_angles[sl] = np.asarray(r_fin)
