@@ -194,3 +194,24 @@ def test_evaluate_cli_angles(tmp_path, rng, capsys):
     # error is numerically ~0 degrees
     assert 0 <= res["rot_error"]["mean"] < 0.1
     assert f"{seq_name}_k1" in res["rot_error_separate"]
+
+
+def test_rename_masks_cli(tmp_path, capsys):
+    """rename-masks moves flat t<frame>-k<kid>.*.png into frame folders
+    (tools/rename_masks.py parity), skipping already-present files."""
+    seq = tmp_path / "Date09_Sub99_boxsmall"
+    (seq / "t0003.000").mkdir(parents=True)
+    mask_root = tmp_path / "masks" / "Date09_Sub99_boxsmall"
+    mask_root.mkdir(parents=True)
+    for frame in ("t0003.000", "t0004.000"):
+        for kind in ("person_mask", "obj_rend_mask"):
+            (mask_root / f"{frame}-k1.{kind}.png").write_bytes(b"png")
+    # one destination already exists -> must be skipped, source kept
+    (seq / "t0003.000" / "k1.person_mask.png").write_bytes(b"old")
+    cli_main(["rename-masks", "--seq", str(seq),
+              "--mask-path", str(tmp_path / "masks")])
+    out = capsys.readouterr().out
+    assert "moved 3" in out and "1 already present" in out
+    assert (seq / "t0004.000" / "k1.obj_rend_mask.png").is_file()
+    assert (seq / "t0003.000" / "k1.person_mask.png").read_bytes() == b"old"
+    assert (mask_root / "t0003.000-k1.person_mask.png").is_file()

@@ -130,3 +130,50 @@ def test_selective_pack_cache_parity(rng):
     for k in ref:
         np.testing.assert_allclose(np.asarray(ref[k]), np.asarray(mixed2[k]),
                                    atol=1e-5, err_msg=k)
+
+
+def test_grid_sample_bf16_map_close_and_fp32_out(rng):
+    """bf16 feature maps (halved gather bandwidth) blend in fp32: output
+    dtype is fp32 and values differ from the fp32 map only by the storage
+    rounding (~2^-8 relative)."""
+    from vistracker_tpu.ops.grid_sample import (pack_corners,
+                                                grid_sample_points_packed)
+    B, H, W, C, N = 2, 13, 17, 7, 300
+    feat = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    uv = jnp.asarray(rng.rand(B, N, 2).astype(np.float32) * 2.4 - 1.2)
+    ref = np.asarray(grid_sample_points(feat, uv))
+    out = grid_sample_points(feat.astype(jnp.bfloat16), uv)
+    assert out.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-2)
+    outp = grid_sample_points_packed(
+        pack_corners(feat).astype(jnp.bfloat16), uv)
+    assert outp.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(outp), ref, atol=2e-2)
+
+
+def test_query_bf16_cache_close(rng):
+    """cast_cache(bfloat16): full query head outputs stay close to the fp32
+    cache (decoders run in fp32; only stored features are rounded)."""
+    import jax
+    from vistracker_tpu.models.sifnet import (SIFNet, SIFNetConfig,
+                                              pack_cache, cast_cache)
+    cfg = SIFNetConfig(num_stack=1, num_hourglass=1, hourglass_dim=32,
+                       tmpx_dim=32, triplane_stack=1, triplane_hg_dim=32,
+                       triplane_tmpx_dim=32, hidden_dim=16)
+    model = SIFNet(cfg)
+    imgs = jnp.asarray(rng.rand(1, 32, 32, 8).astype(np.float32))
+    cc = jnp.asarray(np.array([[1018.0, 779.0]], np.float32))
+    bc = jnp.asarray(np.array([[0, 0, 2.2]], np.float32))
+    pts = jnp.asarray((rng.randn(1, 60, 3) * 0.3
+                       + np.array([0, 0, 2.2])).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), imgs, pts, cc, bc)
+    cache = model.apply(params, imgs, method=SIFNet.encode)
+    ref = model.apply(params, cache, pts, cc, bc, method=SIFNet.query)[-1]
+    for pack in (False, True):
+        c16 = cast_cache(cache, jnp.bfloat16)
+        if pack:
+            c16 = pack_cache(c16)
+        got = model.apply(params, c16, pts, cc, bc, method=SIFNet.query)[-1]
+        for k in ref:
+            np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                       atol=5e-2, err_msg=f"{k} pack={pack}")

@@ -117,6 +117,8 @@ def test_real_track_pipeline(tmp_path, rng):
         "--objects-root", obj_root, "--sifnet-ckpt", "random",
         "--infiller-ckpt", "random", "--tiny-nets",
         "--chunk-size", "4", "--net-size", "32", "--crop-size", "96",
+        # bf16 feature cache exercised end-to-end (models/sifnet.cast_cache)
+        "--cache-dtype", "bfloat16",
         "--save-name", "smoke"])
     # shrink the optimization budgets: run_real_track resolves the config
     # classes at call time from their modules, so patching there works

@@ -374,6 +374,11 @@ def build_parser():
                     help="median (instead of reference mean) aggregation "
                          "of neural object centers/pca over surface points "
                          "— robust to spurious low-df pockets of weak nets")
+    tr.add_argument("--cache-dtype", choices=("float32", "bfloat16"),
+                    default="float32",
+                    help="SIF-Net feature-cache storage dtype: bfloat16 "
+                         "halves cache HBM + query gather bandwidth "
+                         "(stage-4/6 inner loops); decode stays fp32")
     tr.add_argument("--smpl-query-points", type=int, default=0,
                     help="subsample SMPL verts in the stage-6 df losses "
                          "(speed opt-in; 0 = all 6890, reference parity)")
@@ -517,6 +522,14 @@ def build_parser():
     pk.add_argument("--out", required=True, help="output packed pkl path")
     pk.add_argument("--save-name", default="track")
     pk.add_argument("--kid", type=int, default=1)
+
+    rm = sub.add_parser("rename-masks",
+                        help="move flat t<frame>-k<kid>.*.png mask files "
+                             "into the sequence's per-frame folders "
+                             "(tools/rename_masks.py)")
+    rm.add_argument("--seq", required=True, help="sequence folder")
+    rm.add_argument("--mask-path", required=True,
+                    help="root containing <seq_name>/t*-k*.png files")
     return p
 
 
@@ -1080,6 +1093,25 @@ def main(argv=None):
         n_ok = int(np.asarray(packed["recon_exist"]).sum())
         print(f"packed {len(reader.frames)} frames ({n_ok} with recon) "
               f"-> {args.out}")
+    elif args.cmd == "rename-masks":
+        # tools/rename_masks.py:19-39 — flat files named
+        # t<frame>-k<kid>.<kind>.png move to <seq>/t<frame>/k<kid>.<kind>.png
+        import glob as _glob
+        seq_name = os.path.basename(os.path.normpath(args.seq))
+        moved = skipped = 0
+        for f in sorted(_glob.glob(
+                os.path.join(args.mask_path, seq_name, "t*.png"))):
+            parts = os.path.basename(f).split("-")
+            if len(parts) != 2:
+                continue
+            dst = os.path.join(args.seq, parts[0], parts[1])
+            if os.path.isfile(dst):
+                skipped += 1
+                continue
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(f, dst)
+            moved += 1
+        print(f"moved {moved} mask files ({skipped} already present)")
 
 
 if __name__ == "__main__":

@@ -201,7 +201,7 @@ def run_real_track(args):
                                     segment_iters=seg, report_iters=True)
     iters_log = {"smpl": [], "joint": []}
 
-    from ..models.sifnet import pack_cache
+    from ..models.sifnet import pack_cache, cast_cache
     smpl_faces = jnp.asarray(smpl_model.faces)
     T = len(frames)
     chunks = [frames[c0:c0 + args.chunk_size]
@@ -266,10 +266,19 @@ def run_real_track(args):
             ccs.append(cc)
         return np.stack(images), np.stack(ccs)
 
+    cache_dtype = jnp.bfloat16 if args.cache_dtype == "bfloat16" \
+        else jnp.float32
+    cache_itemsize = 2 if args.cache_dtype == "bfloat16" else 4
+
     def encode_chunk(images):
         B = len(images)
         cache = sifnet.apply(sif_params, jnp.asarray(images),
                              method=SIFNet.encode)
+        if cache_dtype != jnp.float32:
+            # bf16 cache: halves the HBM footprint AND every query gather's
+            # bandwidth (models/sifnet.py:cast_cache); blend + decoders
+            # stay fp32
+            cache = cast_cache(cache, cache_dtype)
         # corner packing (PERF_NOTES.md) is a gather optimization paid in
         # 4x cache memory — apply each group only under a byte budget
         # (release sizes: hg packed ~200 MB/frame, stem packed ~100
@@ -278,9 +287,9 @@ def run_real_track(args):
         # inference caches keep only the LAST stack per encoder
         # (SIFNet.encode: rgb_feats[-1:]), so one hg map per encoder
         hg_px = (args.net_size // 4) ** 2
-        hg_bytes = 4 * B * hg_px * 4 * (
+        hg_bytes = 4 * B * hg_px * cache_itemsize * (
             sif_cfg.hourglass_dim + 3 * sif_cfg.triplane_hg_dim)
-        tmpx_bytes = 4 * B * (args.net_size // 2) ** 2 * 4 * (
+        tmpx_bytes = 4 * B * (args.net_size // 2) ** 2 * cache_itemsize * (
             sif_cfg.tmpx_dim + 3 * sif_cfg.triplane_tmpx_dim)
         return pack_cache(cache, pack_tmpx=tmpx_bytes < 2e9,
                           pack_hg=hg_bytes < 2e9)

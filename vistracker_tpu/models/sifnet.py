@@ -76,6 +76,20 @@ def pack_cache(cache: dict, pack_tmpx: bool = True,
     return out
 
 
+def cast_cache(cache: dict, dtype) -> dict:
+    """Cast every feature map in an encode()/pack_cache() cache to dtype.
+
+    bfloat16 halves the cache's HBM footprint AND the gather bandwidth of
+    every query (the stage-4 surface harvest and the stage-6 optimizer
+    loops sample the cache thousands of times; gathers read dtype-sized
+    rows). The bilinear blend and all decoder heads still run in fp32 —
+    grid_sample promotes to the uv dtype — so only the stored features are
+    rounded (~3 significant digits, inference-safe; parity pinned by
+    tests/test_ops.py::test_query_bf16_cache_close).
+    """
+    return jax.tree.map(lambda a: a.astype(dtype), cache)
+
+
 @dataclasses.dataclass(frozen=True)
 class SIFNetConfig:
     # model family variant:

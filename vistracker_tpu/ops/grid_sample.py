@@ -43,6 +43,11 @@ def grid_sample_points(feat: jax.Array, uv: jax.Array) -> jax.Array:
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
+    # blend in the promoted dtype: a bf16 cache (halved gather bandwidth —
+    # the gather itself reads bf16 rows) still blends in fp32 so the
+    # interpolation weights are not mantissa-truncated
+    bdt = jnp.promote_types(feat.dtype, uv.dtype)
+
     def corner(yi, xi):
         """Gather feat[b, yi, xi, :] with zero padding outside the image."""
         valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
@@ -51,15 +56,15 @@ def grid_sample_points(feat: jax.Array, uv: jax.Array) -> jax.Array:
         flat = feat.reshape(B, H * W, C)
         idx = yc * W + xc  # (B, N)
         g = jnp.take_along_axis(flat, idx[..., None], axis=1)  # (B, N, C)
-        return g * valid[..., None].astype(feat.dtype)
+        return g.astype(bdt) * valid[..., None].astype(bdt)
 
     f00 = corner(y0i, x0i)
     f01 = corner(y0i, x0i + 1)
     f10 = corner(y0i + 1, x0i)
     f11 = corner(y0i + 1, x0i + 1)
 
-    wx = wx[..., None].astype(feat.dtype)
-    wy = wy[..., None].astype(feat.dtype)
+    wx = wx[..., None].astype(bdt)
+    wy = wy[..., None].astype(bdt)
     top = f00 * (1 - wx) + f01 * wx
     bot = f10 * (1 - wx) + f11 * wx
     return top * (1 - wy) + bot * wy
@@ -98,8 +103,12 @@ def grid_sample_points_packed(packed: jax.Array, uv: jax.Array) -> jax.Array:
     y = (uv[..., 1] + 1.0) * 0.5 * (H - 1)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    wx = (x - x0)[..., None].astype(packed.dtype)
-    wy = (y - y0)[..., None].astype(packed.dtype)
+    # blend in the promoted dtype (see grid_sample_points): the single
+    # gather reads packed.dtype rows — that is the bandwidth term — and the
+    # bilinear arithmetic runs at uv precision
+    bdt = jnp.promote_types(packed.dtype, uv.dtype)
+    wx = (x - x0)[..., None].astype(bdt)
+    wy = (y - y0)[..., None].astype(bdt)
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
@@ -108,7 +117,7 @@ def grid_sample_points_packed(packed: jax.Array, uv: jax.Array) -> jax.Array:
     yc = jnp.clip(y0i, 0, H - 1)
     flat = packed.reshape(B, H * W, C4)
     rows = jnp.take_along_axis(flat, (yc * W + xc)[..., None], axis=1)
-    rows = rows * base_valid[..., None].astype(packed.dtype)
+    rows = rows.astype(bdt) * base_valid[..., None].astype(bdt)
     f00, f01, f10, f11 = jnp.split(rows, 4, axis=-1)
 
     # When x0 == -1 the gather was clipped to x=0, so the packed row is
@@ -117,7 +126,7 @@ def grid_sample_points_packed(packed: jax.Array, uv: jax.Array) -> jax.Array:
     # weight is already zero (vx0/vy0), so their value is irrelevant.
     sx = (x0i < 0)[..., None]
     sy = (y0i < 0)[..., None]
-    dt = packed.dtype
+    dt = bdt
     vx0 = ((x0i >= 0) & (x0i < W))[..., None].astype(dt)
     vx1 = ((x0i + 1 >= 0) & (x0i + 1 < W))[..., None].astype(dt)
     vy0 = ((y0i >= 0) & (y0i < H))[..., None].astype(dt)
