@@ -205,11 +205,18 @@ def bench_sifnet_and_stage6(jnp, jax, floor_s, do_stage4=True,
     images6 = jnp.asarray(rng.rand(B, H, H, 8).astype(np.float32))
     cc6 = jnp.tile(jnp.asarray([[1018.0, 779.0]]), (B, 1))
     bc6 = jnp.tile(jnp.asarray([[0.0, 0.0, 2.2]]), (B, 1))
-    # the cache stays fully UNPACKED at B=32 (the real_track memory
-    # policy): packed hg maps alone would be ~6 GB and the worker dies
-    # mid-phase — packing is a bs-8 generation optimization, not a
-    # 32-frame-chunk one
-    cache6 = encode_packed(params, images6, pack_tmpx=False, pack_hg=False)
+    # corner-pack each cache group under the same 2 GB byte budget
+    # real_track uses: stage 6 is gather-ROW bound (4 corner gathers per
+    # point per map unpacked vs 1 packed — PERF_NOTES), so packing is a
+    # ~3-4x lever on the query-heavy phases wherever it fits. At B=32 and
+    # release sizes the packed maps are several GB (stays unpacked, the
+    # old policy); at the adaptive B=8/16 they fit.
+    hg_bytes = 4 * B * (H // 4) ** 2 * 4 * (
+        cfg.hourglass_dim + 3 * cfg.triplane_hg_dim)
+    tmpx_bytes = 4 * B * (H // 2) ** 2 * 4 * (
+        cfg.tmpx_dim + 3 * cfg.triplane_tmpx_dim)
+    cache6 = encode_packed(params, images6, pack_tmpx=tmpx_bytes < 2e9,
+                           pack_hg=hg_bytes < 2e9)
     ctx = dict(params=params, cache=cache6, cc=cc6, bc=bc6)
 
     def query_fn(ctx, points):
