@@ -91,23 +91,35 @@ def train_sifnet(frames, part_labels, out_dir, crop_size, net_size,
                        crop_size=crop_size, remat=True)
     model = SIFNet(cfg, PerspectiveCamera(crop_size=crop_size))
 
-    import itertools
+    import collections
     import threading
-    calls = itertools.count()
+    calls = collections.defaultdict(int)
     calls_lock = threading.Lock()
+    # POOL independent sample sets per frame, built lazily and cycled
+    # across epochs: keeps the epoch-diverse sampling that carves out
+    # empty space (the round-2 fix — one fixed set let the overfit net
+    # keep spurious low-df pockets) without paying the CPU-heavy boundary
+    # sampling on every call (fresh-per-epoch sampling on one host core
+    # starves the TPU: measured ~10 steps/min loader-bound vs ~23 steps
+    # in ~30 s pooled).
+    POOL = 8
+    memo = {}
 
     def example(i):
-        # fresh samples each epoch; a raised grid_ratio floods empty space
-        # with uniform points so the tiny overfit net cannot keep spurious
-        # low-df pockets (the round-2 probe found ~10% of random volume
-        # points under df 0.05, which poisoned the generator's center avg).
-        # The counter is locked: PrefetchLoader calls example() from
-        # several worker threads.
+        # a raised grid_ratio floods empty space with uniform points so
+        # the tiny overfit net cannot keep spurious low-df pockets
         with calls_lock:
-            c = next(calls)
-        return sifnet_example(frames[i], part_labels, num_samples=samples,
-                              grid_ratio=grid_ratio,
-                              rng=np.random.RandomState(i * 7919 + 13 + c))
+            c = calls[i]
+            calls[i] += 1
+        key = (i, c % POOL)
+        if key not in memo:
+            built = sifnet_example(
+                frames[i], part_labels, num_samples=samples,
+                grid_ratio=grid_ratio,
+                rng=np.random.RandomState(i * 7919 + 13 + key[1]))
+            with calls_lock:
+                memo.setdefault(key, built)
+        return memo[key]
 
     loader = PrefetchLoader(example, len(frames), batch_size=4,
                             num_workers=10)
@@ -219,11 +231,18 @@ def train_infiller(fx, out_dir, epochs=60):
     return out_dir
 
 
-def _load_fx(args):
-    """Load (or generate) the fixture and shared assets."""
+def _load_fx(args, heldout=False):
+    """Load (or generate) the fixture and shared assets.
+
+    heldout=True generates/loads a SECOND sequence with different motion
+    (same humanoid/assets/template — data/fixture.py motion_seed) used to
+    evaluate generalization of the nets trained on the default sequence.
+    """
     from vistracker_tpu.data.fixture import generate_fixture_sequence
-    data_dir = osp.join(args.out, "data")
-    meta_path = osp.join(args.out, "fixture_meta.npz")
+    sub = "data_heldout" if heldout else "data"
+    data_dir = osp.join(args.out, sub)
+    meta_path = osp.join(
+        args.out, "fixture2_meta.npz" if heldout else "fixture_meta.npz")
     real_assets = ("/root/reference/assets"
                    if osp.isdir("/root/reference/assets") else None)
     if osp.isfile(meta_path):
@@ -234,10 +253,12 @@ def _load_fx(args):
                   objects_root=str(fx["objects_root"]),
                   seq_name=str(fx["seq_name"]))
     else:
-        log(f"generating fixture ({args.frames} frames)...")
-        fx = generate_fixture_sequence(data_dir, T=args.frames,
-                                       raster=args.raster,
-                                       real_assets=real_assets)
+        log(f"generating {'held-out ' if heldout else ''}fixture "
+            f"({args.frames} frames)...")
+        fx = generate_fixture_sequence(
+            data_dir, T=args.frames, raster=args.raster,
+            real_assets=real_assets,
+            motion_seed=args.heldout_motion_seed if heldout else 0)
         np.savez(meta_path, **fx)
     return fx, osp.join(data_dir, "assets")
 
@@ -261,9 +282,10 @@ def run_phase(args):
     from vistracker_tpu.core.landmarks import (load_landmarks,
                                                load_part_labels,
                                                part_labels_array)
-    fx, assets = _load_fx(args)
     phase = args.phase
-    if phase == "generate":
+    heldout = phase.startswith("heldout")
+    fx, assets = _load_fx(args, heldout=heldout)
+    if phase in ("generate", "heldout-gen"):
         return  # _load_fx did the work
 
     model = load_smpl_pkl(fx["model_pkl"])
@@ -298,13 +320,15 @@ def run_phase(args):
         log("training HVOP-Net...")
         train_infiller(fx, out)
         return _mark_done(out)
-    if phase == "track":
-        log("tracking with the real pipeline...")
+    if phase in ("track", "heldout-track"):
+        log("tracking with the real pipeline"
+            + (" (held-out motion, seq-1 checkpoints)..." if heldout
+               else "..."))
         from vistracker_tpu.cli.main import build_parser
         from vistracker_tpu.cli.real_track import run_real_track
         targs = build_parser().parse_args([
             "track", "--seq", fx["seq_dir"], "--out",
-            osp.join(args.out, "recon"),
+            osp.join(args.out, "recon_heldout" if heldout else "recon"),
             "--smpl-model", fx["model_pkl"], "--assets", assets,
             "--objects-root", fx["objects_root"],
             "--sifnet-ckpt", osp.join(args.out, "sifnet"),
@@ -322,30 +346,39 @@ def run_phase(args):
             "--crop-size", str(args.crop_size), "--save-name", "fixture"])
         run_real_track(targs)  # is_done resume: skips if the pack exists
         return
-    if phase == "eval":
+    if phase in ("eval", "heldout-eval"):
         log("evaluating vs GT...")
         from vistracker_tpu.cli.main import _eval_one
         from vistracker_tpu.eval.evaluator import format_errors
         from vistracker_tpu.utils.mesh import load_ply
-        recon_pkl = osp.join(args.out, "recon", "recon_fixture",
-                             f"{fx['seq_name']}_k1.pkl")
+        recon_pkl = osp.join(
+            args.out, "recon_heldout" if heldout else "recon",
+            "recon_fixture", f"{fx['seq_name']}_k1.pkl")
         temp_v, temp_f = load_ply(osp.join(fx["objects_root"], "boxmedium",
                                            "boxmedium.ply"))
         temp_v = temp_v - temp_v.mean(0)
-        report = {"frames": int(args.frames),
-                  "note": ("high-fidelity fixture (capsule-humanoid SMPL-H, "
-                           "rendered masks/keypoints at Kinect geometry); "
-                           "nets self-trained on the same sequence — "
-                           "pipeline accuracy evidence, not generalization")}
+        if heldout:
+            note = ("HELD-OUT motion sequence (motion_seed="
+                    f"{args.heldout_motion_seed}): tracked with nets "
+                    "trained only on the default fixture sequence — "
+                    "generalization evidence across body sway / object "
+                    "orbit / occlusion phases")
+        else:
+            note = ("high-fidelity fixture (capsule-humanoid SMPL-H, "
+                    "rendered masks/keypoints at Kinect geometry); "
+                    "nets self-trained on the same sequence — "
+                    "pipeline accuracy evidence, not generalization")
+        report = {"frames": int(args.frames), "note": note}
         for wname, w in (("W1_chore_protocol", 1),
                          ("W300_video_protocol", 300)):
             errs = _eval_one(model, recon_pkl, fx["gt_pack"], temp_v,
                              temp_f, window=w, smpl_only=False)
             report[wname] = format_errors(errs)
-        os.makedirs(osp.dirname(args.results) or ".", exist_ok=True)
-        with open(args.results, "w") as f:
+        results = args.heldout_results if heldout else args.results
+        os.makedirs(osp.dirname(results) or ".", exist_ok=True)
+        with open(results, "w") as f:
             json.dump(report, f, indent=2)
-        log(f"wrote {args.results}")
+        log(f"wrote {results}")
         print(json.dumps(
             {k: v for k, v in report["W1_chore_protocol"].items()
              if k in ("smpl_v2v", "obj_v2v")}, indent=1))
@@ -354,6 +387,7 @@ def run_phase(args):
 
 
 PHASES = ("generate", "train-sif", "train-sn", "train-inf", "track", "eval")
+HELDOUT_PHASES = ("heldout-gen", "heldout-track", "heldout-eval")
 
 
 def main():
@@ -371,8 +405,15 @@ def main():
                          "training (reference 0.01; the overfit-scale "
                          "fixture needs dense empty-space coverage)")
     ap.add_argument("--results", default="results/fixture_eval.json")
+    ap.add_argument("--heldout", action="store_true",
+                    help="run ONLY the held-out generalization phases "
+                         "(generate a second motion sequence, track it "
+                         "with the seq-1 checkpoints, evaluate)")
+    ap.add_argument("--heldout-motion-seed", type=int, default=1)
+    ap.add_argument("--heldout-results",
+                    default="results/fixture_eval_heldout.json")
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--phase", choices=PHASES, default=None)
+    ap.add_argument("--phase", choices=PHASES + HELDOUT_PHASES, default=None)
     ap.add_argument("--single-process", action="store_true",
                     help="run all phases in this process (CPU/tests)")
     args = ap.parse_args()
@@ -380,10 +421,11 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
 
+    phases = HELDOUT_PHASES if args.heldout else PHASES
     if args.phase:
         return run_phase(args)
     if args.single_process:
-        for ph in PHASES:
+        for ph in phases:
             args.phase = ph
             run_phase(args)
         return
@@ -392,11 +434,11 @@ def main():
     fwd = []
     for k in ("out", "frames", "raster", "net_size", "crop_size",
               "chunk_size", "sif_epochs", "sif_samples", "grid_ratio",
-              "results"):
+              "results", "heldout_motion_seed", "heldout_results"):
         fwd += ["--" + k.replace("_", "-"), str(getattr(args, k))]
     if args.cpu:
         fwd.append("--cpu")
-    for ph in PHASES:
+    for ph in phases:
         log(f"=== phase {ph} (subprocess) ===")
         rc = subprocess.run(base + fwd + ["--phase", ph]).returncode
         if rc != 0:

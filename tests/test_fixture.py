@@ -70,3 +70,29 @@ def test_fixture_sequence_generation(tmp_path, rng):
     lms = load_landmarks(os.path.join(str(tmp_path), "assets"))
     model = load_smpl_pkl(fx["model_pkl"])
     assert np.asarray(lms.body25).shape == (25, 6890)
+
+
+def test_fixture_heldout_motion_seed(tmp_path):
+    """motion_seed varies ONLY the motion: the humanoid model/template are
+    byte-identical to the default sequence (so nets trained on seq 1 load
+    against seq 2), while the trajectories genuinely differ."""
+    fx1 = generate_fixture_sequence(str(tmp_path / "a"), T=4, raster=64)
+    fx2 = generate_fixture_sequence(str(tmp_path / "b"), T=4, raster=64,
+                                    motion_seed=1)
+    assert fx2["seq_name"] != fx1["seq_name"]
+    with open(fx1["model_pkl"], "rb") as f1, \
+            open(fx2["model_pkl"], "rb") as f2:
+        assert f1.read() == f2.read()
+    with open(os.path.join(fx1["objects_root"], "boxmedium",
+                           "boxmedium.ply"), "rb") as f1, \
+            open(os.path.join(fx2["objects_root"], "boxmedium",
+                              "boxmedium.ply"), "rb") as f2:
+        assert f1.read() == f2.read()
+    # different motion everywhere it matters
+    assert np.abs(fx1["trans"] - fx2["trans"]).max() > 0.01
+    assert np.abs(fx1["rot_gt"] - fx2["rot_gt"]).max() > 0.01
+    assert np.abs(fx1["obj_trans_gt"] - fx2["obj_trans_gt"]).max() > 0.05
+    # rotations stay valid
+    rr = fx2["rot_gt"] @ fx2["rot_gt"].transpose(0, 2, 1)
+    np.testing.assert_allclose(rr, np.broadcast_to(np.eye(3), rr.shape),
+                               atol=1e-5)

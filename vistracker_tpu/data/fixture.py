@@ -407,7 +407,8 @@ def _render_frame(cam, verts_s, faces_s, verts_o, faces_o, raster: int):
 def generate_fixture_sequence(out_dir: str, T: int = 30,
                               seed: int = 0, raster: int = 512,
                               kid: int = 1, noise_px: float = 2.0,
-                              real_assets: str | None = None):
+                              real_assets: str | None = None,
+                              motion_seed: int = 0):
     """Write a BEHAVE-layout sequence + GT pack + model pkl + template.
 
     Layout written under out_dir:
@@ -418,6 +419,11 @@ def generate_fixture_sequence(out_dir: str, T: int = 30,
                                    priors when real_assets is given)
       objects/boxmedium/boxmedium.ply
     Returns a dict of the paths + GT arrays.
+
+    motion_seed != 0 draws different motion-trajectory phases/rates (body
+    sway, object orbit and spin) while keeping the humanoid model, assets
+    and object template BYTE-IDENTICAL to motion_seed=0 — a held-out
+    sequence for generalization evals of nets trained on the default one.
     """
     import jax.numpy as jnp
     from PIL import Image
@@ -430,7 +436,16 @@ def generate_fixture_sequence(out_dir: str, T: int = 30,
     import pickle
 
     rng = np.random.RandomState(seed)
-    seq_name = "Date09_Sub99_boxmedium"
+    if motion_seed:
+        mr = np.random.RandomState(motion_seed)
+        ph = float(mr.uniform(0.5, 2 * np.pi - 0.5))   # body sway phase
+        ph_o = float(mr.uniform(0.5, 2 * np.pi - 0.5))  # orbit/spin phase
+        amp = float(mr.uniform(0.8, 1.2))               # sway amplitude
+        rspeed = float(mr.uniform(0.7, 1.4))            # object spin rate
+        seq_name = f"Date{9 + motion_seed:02d}_Sub99_boxmedium"
+    else:
+        ph, ph_o, amp, rspeed = 0.0, 0.0, 1.0, 1.0
+        seq_name = "Date09_Sub99_boxmedium"
     seq_dir = osp.join(out_dir, seq_name)
     os.makedirs(seq_dir, exist_ok=True)
 
@@ -451,19 +466,21 @@ def generate_fixture_sequence(out_dir: str, T: int = 30,
     t = np.linspace(0, 1, T).astype(np.float32)
     poses = np.zeros((T, 156), np.float32)
     # gentle arm/leg swing on a few joints
-    swing = 0.35 * np.sin(2 * np.pi * t)
-    for j, amp in ((16, 0.5), (17, -0.5), (1, 0.25), (2, -0.25)):
-        poses[:, 3 * j + 2] = swing * amp
+    swing = 0.35 * amp * np.sin(2 * np.pi * t + ph)
+    for j, jamp in ((16, 0.5), (17, -0.5), (1, 0.25), (2, -0.25)):
+        poses[:, 3 * j + 2] = swing * jamp
     # global orientation: the canonical +y-up body flipped into the Kinect
     # camera frame (y down) — real BEHAVE SMPL fits carry exactly this
     # pi-about-x in their root rotation — composed with a small z sway
     base = Rotation.from_euler("x", np.pi)
-    sway = Rotation.from_euler("z", (0.1 * np.sin(2 * np.pi * t))[:, None])
+    sway = Rotation.from_euler(
+        "z", (0.1 * amp * np.sin(2 * np.pi * t + ph))[:, None])
     poses[:, :3] = (base * sway).as_rotvec().astype(np.float32)
     betas = np.zeros((T, 10), np.float32)
-    trans = np.stack([0.15 * np.sin(2 * np.pi * t),
+    trans = np.stack([0.15 * amp * np.sin(2 * np.pi * t + ph),
                       0.35 + 0.02 * np.sin(np.pi * t),
-                      2.4 + 0.1 * np.sin(np.pi * t)], -1).astype(np.float32)
+                      2.4 + 0.1 * np.sin(np.pi * t + ph)], -1).astype(
+                          np.float32)
 
     verts, _, _, _ = lbs_forward(model, jnp.asarray(poses),
                                  jnp.asarray(betas), jnp.asarray(trans))
@@ -475,12 +492,15 @@ def generate_fixture_sequence(out_dir: str, T: int = 30,
     obj_root = osp.join(out_dir, "objects", "boxmedium")
     os.makedirs(obj_root, exist_ok=True)
     save_ply(osp.join(obj_root, "boxmedium.ply"), temp_v, temp_f)
-    ang = 1.6 * t + 0.3 * np.sin(2 * np.pi * t)
+    ang = 1.6 * rspeed * t + 0.3 * np.sin(2 * np.pi * t + ph_o)
     rot_gt = Rotation.from_euler(
-        "yxz", np.stack([ang, 0.2 * np.sin(3 * t), 0.1 * t], -1)
+        "yxz", np.stack([ang, 0.2 * np.sin(3 * t + ph_o),
+                         0.1 * rspeed * t], -1)
     ).as_matrix().astype(np.float32)  # (T, 3, 3) REAL rotations
-    # orbit: passes behind the person mid-sequence
-    orbit = 2 * np.pi * (t - 0.5)
+    # orbit: passes behind the person once per sequence (the occlusion
+    # interval moves with ph_o but always occurs — orbit crosses 0 mod 2pi
+    # exactly once over its 2pi range)
+    orbit = 2 * np.pi * (t - 0.5) + ph_o
     obj_trans_gt = trans + np.stack(
         [0.75 * np.sin(orbit), 0.1 * np.cos(2 * orbit),
          0.55 * np.cos(orbit)], -1).astype(np.float32)
