@@ -214,7 +214,8 @@ def run_synthetic_track(args) -> dict:
         iter_betas=1, iter_pose=1, iter_kpts=1,
         smpl_max_iter=args.joint_smpl_iters, iter_obj=args.joint_obj_iters,
         iter_sil=args.joint_sil_iters, joint_max_iter=args.joint_iters,
-        sil_size=64, sil_sigma=1 / 32.0)
+        sil_size=64, sil_sigma=1 / 32.0,
+        sil_backend=getattr(args, "sil_backend", "auto"))
     cc = jnp.asarray(crop_centers)
     bc = body_centers
     ctx = dict(params=sif_params, cache=cache, cc=cc, bc=bc)
@@ -354,6 +355,10 @@ def build_parser():
                          "device programs of at most N iterations each "
                          "(identical math; needed where the runtime kills "
                          "long single executions)")
+    tr.add_argument("--sil-backend", default="auto",
+                    choices=("auto", "pallas", "xla"),
+                    help="silhouette rasterizer: fused Pallas kernel "
+                         "(default on TPU) or the chunked-scan XLA path")
     tr.add_argument("--shard-frames", action="store_true",
                     help="shard each chunk's frame axis over the device "
                          "mesh (SPMD; pads the last chunk to a device "

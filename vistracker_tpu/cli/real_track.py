@@ -172,7 +172,8 @@ def run_real_track(args):
     # speed/accuracy trade via --smpl-query-points
     jcfg = JointFitConfig(
         early_stop=True,
-        smpl_query_points=getattr(args, "smpl_query_points", 0) or 0)
+        smpl_query_points=getattr(args, "smpl_query_points", 0) or 0,
+        sil_backend=getattr(args, "sil_backend", "auto"))
     gen_cfg = GeneratorConfig(
         center_agg="median" if getattr(args, "robust_centers", False)
         else "mean")

@@ -41,6 +41,7 @@ from ..core.priors import MahalanobisPrior, HandPrior
 from ..core.rotations import project_so3
 from ..ops.chamfer import label_compatible_nn
 from ..ops.rasterizer import soft_silhouette
+from ..ops.pallas_raster import soft_silhouette_batch
 from ..ops.sdf_grid import SDFGrid, penetration_loss
 from .smplt import SMPLTParams
 
@@ -98,6 +99,9 @@ class JointFitConfig:
     # must fit HBM through the (rematted) backward; 32 keeps it < 1 GB at
     # B=32, 256^2
     sil_face_chunk: int = 32
+    # "auto" = fused Pallas rasterizer kernel on TPU (ops/pallas_raster.py),
+    # chunked-scan XLA path elsewhere; "xla"/"pallas" force a backend
+    sil_backend: str = "auto"
     collision: bool = False  # reference gates this by hostname
     # early stopping (reference semantics); off by default so fixed-budget
     # runs and tests stay deterministic in length
@@ -531,13 +535,21 @@ def make_object_optimizer(query_fn, project_px,
         verts = transform_obj_verts(sil_verts, obj_r, obj_t, obj_s)
         px = project_px(ctx, verts)  # (B, V, 2) original-image pixels
         sigma = cfg.sil_sigma if sigma is None else sigma
-
-        def one(p, roi):
-            ndc = 2.0 * (p - roi[None, :2]) / roi[2] - 1.0
-            return soft_silhouette(ndc, sil_faces, cfg.sil_size,
-                                   sigma, chunk=cfg.sil_face_chunk)
-
-        imgs = jax.vmap(one)(px, sil.roi_xyb)
+        ndc = 2.0 * (px - sil.roi_xyb[:, None, :2]) \
+            / sil.roi_xyb[:, None, 2:3] - 1.0
+        backend = cfg.sil_backend
+        if backend == "auto":
+            backend = ("pallas" if jax.default_backend() == "tpu"
+                       else "xla")
+        if backend == "pallas":
+            # fused VMEM kernel: ~9x the chunked-scan XLA path at release
+            # sizes (PERF_NOTES round 2, scripts/bench_sil_phase.py)
+            imgs = soft_silhouette_batch(ndc, sil_faces, cfg.sil_size,
+                                         sigma)
+        else:
+            imgs = jax.vmap(lambda v: soft_silhouette(
+                v, sil_faces, cfg.sil_size, sigma,
+                chunk=cfg.sil_face_chunk))(ndc)
         imgs = imgs * sil.keep_mask
         per_ex = ((imgs - sil.image_ref) ** 2).sum((1, 2))
         return (per_ex * occ).mean()
