@@ -348,10 +348,12 @@ def main():
 
     for phase in ("smplt", "stage4"):
         run_one(phase)
-    # stage 6 batch is adaptive: B=32 silhouette programs crash the remote
-    # worker since a mid-round-2 platform roll (PERF_NOTES bisection); retry
-    # at the largest surviving batch so the composite is still measured.
-    for b in (32, 8):
+    # stage 6 batch ladder: B=8 first — the chip is saturated there, and
+    # measured per-frame cost RISES with batch (B=8 0.153 fps vs B=32
+    # 0.091 fps with the Pallas silhouette; PERF_NOTES round-2 sessions
+    # 3/5) — with B=32 as a fallback in case a platform roll breaks the
+    # small-batch program shape.
+    for b in (8, 32):
         if run_one("stage6", ("--stage6-batch", str(b))):
             break
 
