@@ -73,22 +73,19 @@ def build_training_frames(fx, model, landmarks, crop_size, net_size):
 
 
 def train_sifnet(frames, part_labels, out_dir, crop_size, net_size,
-                 epochs, samples, lr=1e-3, grid_ratio=0.01):
+                 epochs, samples, lr=1e-3, grid_ratio=0.01, preset="tiny"):
     import jax
     import jax.numpy as jnp
-    from vistracker_tpu.models.sifnet import SIFNet, SIFNetConfig
+    from vistracker_tpu.models.sifnet import SIFNet, sifnet_preset
     from vistracker_tpu.core.camera import PerspectiveCamera
     from vistracker_tpu.data.datasets import PrefetchLoader, sifnet_example
     from vistracker_tpu.fit.train import (TrainConfig, init_train_state,
                                           make_train_step)
     from vistracker_tpu.fit.trainer_loop import LoopConfig, train_loop
 
-    # EXACTLY the --tiny-nets config real_track builds, so the orbax
+    # EXACTLY the --net-preset config real_track builds, so the orbax
     # checkpoint loads into the tracking model unchanged
-    cfg = SIFNetConfig(num_stack=1, num_hourglass=1, hourglass_dim=32,
-                       tmpx_dim=32, triplane_stack=1, triplane_hg_dim=32,
-                       triplane_tmpx_dim=32, hidden_dim=16,
-                       crop_size=crop_size, remat=True)
+    cfg = sifnet_preset(preset, crop_size=crop_size, remat=True)
     model = SIFNet(cfg, PerspectiveCamera(crop_size=crop_size))
 
     import collections
@@ -289,8 +286,11 @@ def run_phase(args):
         return  # _load_fx did the work
 
     model = load_smpl_pkl(fx["model_pkl"])
+    # sifnet checkpoint / recon / results paths carry the net preset so
+    # differently-sized runs coexist under one --out
+    psuf = "" if args.net_preset == "tiny" else f"_{args.net_preset}"
     if phase == "train-sif":
-        out = osp.join(args.out, "sifnet")
+        out = osp.join(args.out, "sifnet" + psuf)
         if _done(out):
             return log("train-sif already done")
         landmarks = load_landmarks(assets)
@@ -299,10 +299,11 @@ def run_phase(args):
         log("building SIF-Net training frames...")
         frames, _, _ = build_training_frames(fx, model, landmarks,
                                              args.crop_size, args.net_size)
-        log("training SIF-Net (overfit on the sequence)...")
+        log(f"training SIF-Net (preset {args.net_preset}, overfit on the "
+            "sequence)...")
         train_sifnet(frames, part_labels, out, args.crop_size,
                      args.net_size, args.sif_epochs, args.sif_samples,
-                     grid_ratio=args.grid_ratio)
+                     grid_ratio=args.grid_ratio, preset=args.net_preset)
         return _mark_done(out)
     if phase == "train-sn":
         out_s, out_r = osp.join(args.out, "sn_smpl"), osp.join(args.out,
@@ -328,14 +329,16 @@ def run_phase(args):
         from vistracker_tpu.cli.real_track import run_real_track
         targs = build_parser().parse_args([
             "track", "--seq", fx["seq_dir"], "--out",
-            osp.join(args.out, "recon_heldout" if heldout else "recon"),
+            osp.join(args.out,
+                     ("recon_heldout" if heldout else "recon") + psuf),
             "--smpl-model", fx["model_pkl"], "--assets", assets,
             "--objects-root", fx["objects_root"],
-            "--sifnet-ckpt", osp.join(args.out, "sifnet"),
+            "--sifnet-ckpt", osp.join(args.out, "sifnet" + psuf),
             "--infiller-ckpt", osp.join(args.out, "infiller"),
             "--smoothnet-smpl-ckpt", osp.join(args.out, "sn_smpl"),
             "--smoothnet-objrot-ckpt", osp.join(args.out, "sn_rot"),
-            "--tiny-nets", "--chunk-size", str(args.chunk_size),
+            "--net-preset", args.net_preset,
+            "--chunk-size", str(args.chunk_size),
             "--net-size", str(args.net_size),
             # bounded device programs: the tunnel kills multi-minute
             # single executions (full-budget stage-6 phases exceed that)
@@ -352,7 +355,7 @@ def run_phase(args):
         from vistracker_tpu.eval.evaluator import format_errors
         from vistracker_tpu.utils.mesh import load_ply
         recon_pkl = osp.join(
-            args.out, "recon_heldout" if heldout else "recon",
+            args.out, ("recon_heldout" if heldout else "recon") + psuf,
             "recon_fixture", f"{fx['seq_name']}_k1.pkl")
         temp_v, temp_f = load_ply(osp.join(fx["objects_root"], "boxmedium",
                                            "boxmedium.ply"))
@@ -368,7 +371,8 @@ def run_phase(args):
                     "rendered masks/keypoints at Kinect geometry); "
                     "nets self-trained on the same sequence — "
                     "pipeline accuracy evidence, not generalization")
-        report = {"frames": int(args.frames), "note": note}
+        report = {"frames": int(args.frames),
+                  "net_preset": args.net_preset, "note": note}
         for wname, w in (("W1_chore_protocol", 1),
                          ("W300_video_protocol", 300)):
             errs = _eval_one(model, recon_pkl, fx["gt_pack"], temp_v,
@@ -404,19 +408,30 @@ def main():
                     help="uniform far-field sample fraction during SIF-Net "
                          "training (reference 0.01; the overfit-scale "
                          "fixture needs dense empty-space coverage)")
-    ap.add_argument("--results", default="results/fixture_eval.json")
+    ap.add_argument("--results", default=None,
+                    help="output JSON (default results/fixture_eval"
+                         "[_PRESET].json)")
+    ap.add_argument("--net-preset", choices=("tiny", "small", "release"),
+                    default="tiny",
+                    help="SIF-Net size preset for training AND tracking "
+                         "(models/sifnet.py:sifnet_preset); non-tiny runs "
+                         "suffix the sifnet/recon/results paths")
     ap.add_argument("--heldout", action="store_true",
                     help="run ONLY the held-out generalization phases "
                          "(generate a second motion sequence, track it "
                          "with the seq-1 checkpoints, evaluate)")
     ap.add_argument("--heldout-motion-seed", type=int, default=1)
-    ap.add_argument("--heldout-results",
-                    default="results/fixture_eval_heldout.json")
+    ap.add_argument("--heldout-results", default=None)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--phase", choices=PHASES + HELDOUT_PHASES, default=None)
     ap.add_argument("--single-process", action="store_true",
                     help="run all phases in this process (CPU/tests)")
     args = ap.parse_args()
+    rsuf = "" if args.net_preset == "tiny" else f"_{args.net_preset}"
+    if args.results is None:
+        args.results = f"results/fixture_eval{rsuf}.json"
+    if args.heldout_results is None:
+        args.heldout_results = f"results/fixture_eval_heldout{rsuf}.json"
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
@@ -434,7 +449,8 @@ def main():
     fwd = []
     for k in ("out", "frames", "raster", "net_size", "crop_size",
               "chunk_size", "sif_epochs", "sif_samples", "grid_ratio",
-              "results", "heldout_motion_seed", "heldout_results"):
+              "results", "heldout_motion_seed", "heldout_results",
+              "net_preset"):
         fwd += ["--" + k.replace("_", "-"), str(getattr(args, k))]
     if args.cpu:
         fwd.append("--cpu")

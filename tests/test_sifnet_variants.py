@@ -92,3 +92,40 @@ def test_remat_variant_same_outputs_and_grads(rng):
     a = jax.tree.leaves(g)[0]
     b = jax.tree.leaves(g_r)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_sifnet_presets_init_and_cli_parse():
+    """sifnet_preset names build valid models (checkpoint compatibility
+    between the fixture trainer and `track --net-preset`), and the track
+    CLI accepts the preset flag with --tiny-nets as alias."""
+    import jax
+    import jax.numpy as jnp
+    from vistracker_tpu.core.camera import PerspectiveCamera
+    from vistracker_tpu.models.sifnet import SIFNet, sifnet_preset
+    from vistracker_tpu.cli.main import build_parser
+
+    sizes = {}
+    for name in ("tiny", "small"):
+        cfg = sifnet_preset(name, crop_size=1200)
+        model = SIFNet(cfg, PerspectiveCamera(crop_size=1200))
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 32, 32, 8)), jnp.zeros((1, 4, 3)),
+                            jnp.zeros((1, 2)), jnp.zeros((1, 3)))
+        # train=True exercises the multi-stack path: small has
+        # num_stack=2 but triplane_stack=1 (the query clamps the
+        # triplane stack index to the deepest available)
+        outs = model.apply(params, jnp.zeros((1, 32, 32, 8)),
+                           jnp.zeros((1, 4, 3)), jnp.zeros((1, 2)),
+                           jnp.zeros((1, 3)), train=True)
+        assert len(outs) == cfg.num_stack
+        assert outs[-1]["df"].shape == (1, 4, 2)
+        sizes[name] = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    assert sizes["small"] > sizes["tiny"]
+    # release preset = default config (no init: the conv trunk is big)
+    assert sifnet_preset("release").hourglass_dim == 256
+
+    args = build_parser().parse_args(
+        ["track", "--seq", "s", "--net-preset", "small"])
+    assert args.net_preset == "small" and not args.tiny_nets
+    args = build_parser().parse_args(["track", "--seq", "s", "--tiny-nets"])
+    assert args.tiny_nets

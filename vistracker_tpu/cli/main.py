@@ -388,7 +388,12 @@ def build_parser():
                     help="subsample SMPL verts in the stage-6 df losses "
                          "(speed opt-in; 0 = all 6890, reference parity)")
     tr.add_argument("--tiny-nets", action="store_true",
-                    help="tiny network configs (pipeline smoke tests)")
+                    help="tiny network configs (pipeline smoke tests; "
+                         "alias for --net-preset tiny)")
+    tr.add_argument("--net-preset", choices=("tiny", "small", "release"),
+                    default="release",
+                    help="SIF-Net size preset (models/sifnet.py:"
+                         "sifnet_preset); must match the checkpoint")
     tr.add_argument("--redo", action="store_true",
                     help="re-run even if the packed output exists")
     tr.add_argument("--neural-only", action="store_true",

@@ -52,7 +52,7 @@ def run_real_track(args):
         sifnet_query_fn
     from ..fit.joint import (JointFitConfig, make_smpl_optimizer,
                              make_object_optimizer, init_object_orientation)
-    from ..models.sifnet import SIFNet, SIFNetConfig
+    from ..models.sifnet import SIFNet, sifnet_preset
     from ..models.smoothnet import SmoothNet, SmoothNetSMPL
     from ..models.infiller import ConditionalMInfiller, InfillerConfig
     from ..models import torch_import as TI
@@ -98,12 +98,9 @@ def run_real_track(args):
 
     # networks + checkpoints ("random" initializes untrained weights — for
     # pipeline smoke tests only)
-    tiny = getattr(args, "tiny_nets", False)
-    sif_cfg = (SIFNetConfig(num_stack=1, num_hourglass=1, hourglass_dim=32,
-                            tmpx_dim=32, triplane_stack=1, triplane_hg_dim=32,
-                            triplane_tmpx_dim=32, hidden_dim=16,
-                            crop_size=args.crop_size) if tiny
-               else SIFNetConfig(crop_size=args.crop_size))
+    preset = ("tiny" if getattr(args, "tiny_nets", False)
+              else getattr(args, "net_preset", "release"))
+    sif_cfg = sifnet_preset(preset, crop_size=args.crop_size)
     sifnet = SIFNet(sif_cfg, cam)
     def _init_sif():
         import jax.numpy as _j

@@ -139,6 +139,32 @@ class SIFNetConfig:
         return self.hourglass_dim + zfeat + self.hourglass_dim // 4
 
 
+def sifnet_preset(name: str, crop_size: int = 1200,
+                  remat: bool = False) -> SIFNetConfig:
+    """Named size presets shared by the track CLI and the fixture trainer
+    (the checkpoint only loads back if both sides build the same config).
+
+    release — tri-vis-l2.json dims (the default SIFNetConfig)
+    small   — capacity for a ~100-frame fixture overfit without release
+              training cost (the tiny preset's 16-d heads plateau:
+              results/fixture_diagnostics.json)
+    tiny    — pipeline smoke tests
+    """
+    if name == "release":
+        return SIFNetConfig(crop_size=crop_size, remat=remat)
+    if name == "small":
+        return SIFNetConfig(num_stack=2, num_hourglass=2, hourglass_dim=64,
+                            tmpx_dim=32, triplane_stack=1,
+                            triplane_hg_dim=64, triplane_tmpx_dim=32,
+                            hidden_dim=64, crop_size=crop_size, remat=remat)
+    if name == "tiny":
+        return SIFNetConfig(num_stack=1, num_hourglass=1, hourglass_dim=32,
+                            tmpx_dim=32, triplane_stack=1,
+                            triplane_hg_dim=32, triplane_tmpx_dim=32,
+                            hidden_dim=16, crop_size=crop_size, remat=remat)
+    raise ValueError(f"unknown sifnet preset {name!r}")
+
+
 class DecoderHead(nn.Module):
     """4-layer 1x1 MLP head (chore.py:make_decoder), applied per point."""
 
@@ -245,8 +271,13 @@ class SIFNet(nn.Module):
             tp_uv = triplane_project(points, body_center)  # (B, 3, N, 2)
             for p in range(3):
                 feats.append(sample_tmpx(cache["tp_tmpx"][p], tp_uv[:, p]))
+            # the reference ties triplane stacks to main stacks
+            # (chore_triplane.py:146 view_feat[feat_idx]); when
+            # triplane_stack < num_stack (small preset) every main stack
+            # reads the deepest triplane stack
+            tp_idx = min(stack_idx, len(cache["tp_feats"][0]) - 1)
             for p in range(3):
-                feats.append(sample(cache["tp_feats"][p][stack_idx],
+                feats.append(sample(cache["tp_feats"][p][tp_idx],
                                     tp_uv[:, p]))
         # reorder to reference layout: tmpx triplanes concatenated before
         # per-plane hourglass feats (chore_triplane.py:135,144-149)
