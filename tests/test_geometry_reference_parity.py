@@ -1,0 +1,154 @@
+"""Parity of core/rotations.py and ops/window_ops.py against the ACTUAL
+reference conversion code imported from /root/reference and executed on
+the same inputs:
+
+  * utils/geometry_utils.py — batch_rodrigues, rot6d_to_rotmat,
+    rotmat_to_6d, rotation_matrix_to_angle_axis, numpy_axis_to_rot6D
+  * interp/lib/quaternions.py — slerp (the occlusion interpolator math)
+  * smoothnet/utils/utils.py — slide_window_to_sequence (the overlap
+    averaging every SmoothNet stage depends on), both the step==1 fast
+    path and the naive step>1 loop
+
+These are the converters every packed file, SmoothNet input, and infiller
+rot6d stream pass through; bitwise-compatible semantics here are what
+make checkpoint import and packed-file interchange meaningful.
+Skipped when /root/reference is unavailable.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference repo not available")
+
+
+@pytest.fixture(scope="module")
+def ref_geom():
+    sys.path.insert(0, REF)
+    try:
+        import utils.geometry_utils as gu
+        import interp.lib.quaternions as quats
+        import smoothnet.utils.utils as snu
+        yield dict(gu=gu, quats=quats, snu=snu)
+    finally:
+        sys.path.remove(REF)
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(11)
+
+
+def test_axis_angle_to_rotmat_parity(ref_geom, rng):
+    import torch
+    import jax.numpy as jnp
+    from vistracker_tpu.core.rotations import axis_angle_to_rotmat
+    # mixed magnitudes incl. near-zero (the reference adds 1e-8 pre-norm)
+    theta = np.concatenate([rng.randn(32, 3),
+                            rng.randn(8, 3) * 1e-5,
+                            rng.randn(8, 3) * 3.0]).astype(np.float32)
+    ref = ref_geom["gu"].batch_rodrigues(torch.from_numpy(theta)).numpy()
+    ours = np.asarray(axis_angle_to_rotmat(jnp.asarray(theta)))
+    np.testing.assert_allclose(ours, ref.reshape(-1, 3, 3), atol=2e-6)
+
+
+def test_rot6d_to_rotmat_parity(ref_geom, rng):
+    import torch
+    import jax.numpy as jnp
+    from vistracker_tpu.core.rotations import rot6d_to_rotmat
+    x = rng.randn(48, 6).astype(np.float32)
+    ref = ref_geom["gu"].rot6d_to_rotmat(torch.from_numpy(x)).numpy()
+    ours = np.asarray(rot6d_to_rotmat(jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, atol=2e-6)
+
+
+def test_rotmat_to_rot6d_parity(ref_geom, rng):
+    import torch
+    import jax.numpy as jnp
+    from vistracker_tpu.core.rotations import (axis_angle_to_rotmat,
+                                               rotmat_to_rot6d)
+    rots = np.asarray(axis_angle_to_rotmat(jnp.asarray(
+        rng.randn(20, 3).astype(np.float32))))
+    ref = ref_geom["gu"].rotmat_to_6d(torch.from_numpy(rots)).numpy()
+    ours = np.asarray(rotmat_to_rot6d(jnp.asarray(rots)))
+    np.testing.assert_allclose(ours, ref.reshape(-1, 6), atol=1e-7)
+
+
+def test_rotmat_to_axis_angle_parity(ref_geom, rng):
+    import torch
+    import jax.numpy as jnp
+    from vistracker_tpu.core.rotations import (axis_angle_to_rotmat,
+                                               rotmat_to_axis_angle)
+    theta = rng.randn(40, 3).astype(np.float32)
+    rots = np.asarray(axis_angle_to_rotmat(jnp.asarray(theta)))
+    ref = ref_geom["gu"].rotation_matrix_to_angle_axis(
+        torch.from_numpy(rots)).numpy()
+    ours = np.asarray(rotmat_to_axis_angle(jnp.asarray(rots)))
+    # both recover theta up to the 2*pi ambiguity; compare via the rotation
+    back_ref = np.asarray(axis_angle_to_rotmat(jnp.asarray(ref)))
+    back_ours = np.asarray(axis_angle_to_rotmat(jnp.asarray(ours)))
+    np.testing.assert_allclose(back_ours, back_ref, atol=3e-6)
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_numpy_axis_to_rot6d_parity(ref_geom, rng):
+    import jax.numpy as jnp
+    from vistracker_tpu.core.rotations import axis_angle_to_rot6d
+    theta = rng.randn(24, 3).astype(np.float64)
+    ref = ref_geom["gu"].numpy_axis_to_rot6D(theta)  # (B, 1, 6)
+    ours = np.asarray(axis_angle_to_rot6d(jnp.asarray(theta, jnp.float32)))
+    np.testing.assert_allclose(ours, ref.reshape(-1, 6), atol=2e-6)
+
+
+def test_slerp_parity(ref_geom, rng):
+    import torch
+    import jax.numpy as jnp
+    from vistracker_tpu.core.rotations import quat_slerp
+    B, J, T = 3, 2, 5
+
+    def rand_unit_quat(n):
+        q = rng.randn(n, 4)
+        return q / np.linalg.norm(q, axis=-1, keepdims=True)
+
+    q0 = rand_unit_quat(B * J).reshape(B, J, 4).astype(np.float32)
+    # pairs with POSITIVE moderate dot: there the two implementations are
+    # the same geodesic slerp. For dot<0 the reference keeps the original
+    # obtuse half-angle in the sin weights after flipping q1 (quaternions
+    # py:48-66) — a non-geodesic path; we take the true shortest arc (the
+    # reference pipelines feed continuity-fixed quats, dot>0, where the
+    # quirk is unreachable — remove_quat_discontinuities). Documented
+    # deviation (STATUS.md). Near-parallel fallbacks also differ (lerp vs
+    # pick-q0), hence the upper bound.
+    for _ in range(100):
+        q1 = rand_unit_quat(B * J).reshape(B, J, 4).astype(np.float32)
+        d = np.sum(q0 * q1, -1)
+        if np.all((d > 0.05) & (d < 0.9)):
+            break
+    else:
+        pytest.fail("could not draw well-separated quaternions")
+    t = rng.rand(B, T, J, 1).astype(np.float32)
+
+    ref = ref_geom["quats"].slerp(torch.from_numpy(q0), torch.from_numpy(q1),
+                                  torch.from_numpy(t)).numpy()
+    ours = np.asarray(quat_slerp(jnp.asarray(q0)[:, None],
+                                 jnp.asarray(q1)[:, None], jnp.asarray(t)))
+    # reference result is unit up to float error; ours normalizes
+    ref = ref / np.linalg.norm(ref, axis=-1, keepdims=True)
+    np.testing.assert_allclose(ours, ref, atol=3e-5)
+
+
+@pytest.mark.parametrize("step", [1, 3])
+def test_slide_window_to_sequence_parity(ref_geom, rng, step):
+    import torch
+    import jax.numpy as jnp
+    from vistracker_tpu.ops.window_ops import windows_to_seq
+    N, W, D = 12, 8, 5
+    w = rng.randn(N, W, D).astype(np.float32)
+    ref = ref_geom["snu"].slide_window_to_sequence(
+        torch.from_numpy(w), step, W).numpy()
+    ours = np.asarray(windows_to_seq(jnp.asarray(w), step))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=1e-6)

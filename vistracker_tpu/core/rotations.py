@@ -146,8 +146,12 @@ def quat_slerp(q0: jax.Array, q1: jax.Array, t: jax.Array) -> jax.Array:
     """Shortest-arc spherical interpolation between unit quaternions.
 
     q0, q1: (..., 4); t: broadcastable to (...,). Parity with the reference
-    slerp (interp/lib/quaternions.py) including sign flip for the short arc
-    and the lerp fallback when the quaternions are nearly parallel.
+    slerp (interp/lib/quaternions.py:38-66) for dot(q0, q1) > 0 — the only
+    regime its callers reach after remove_quat_discontinuities. Documented
+    deviation for dot < 0: the reference flips q1 but keeps the original
+    obtuse half-angle in the sin weights (a non-geodesic path); we take the
+    true shortest arc (abs(dot)). Near-parallel we lerp; the reference
+    returns q0 only at |dot| >= 1 exactly.
     """
     q0 = q0 / jnp.linalg.norm(q0, axis=-1, keepdims=True)
     q1 = q1 / jnp.linalg.norm(q1, axis=-1, keepdims=True)
