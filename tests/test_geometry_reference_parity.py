@@ -140,6 +140,49 @@ def test_slerp_parity(ref_geom, rng):
     np.testing.assert_allclose(ours, ref, atol=3e-5)
 
 
+def test_pca_and_orientation_init_parity(ref_geom, rng):
+    """recon/pca_util.py parity: compute_pca components (up to the
+    sklearn-version-dependent sign — this image ships sklearn 1.5+ whose
+    V-based svd_flip differs from the reference-era U-based one our
+    data/sampling.py replicates; the sign convention itself is pinned by
+    test_eval.py::test_pca_axes_reference_era_sign_convention) and
+    init_object_orientation (pinv(src) @ tgt projected to SO(3))."""
+    import sys as _sys
+    _sys.path.insert(0, REF)
+    try:
+        from recon.pca_util import PCAUtil
+    finally:
+        _sys.path.remove(REF)
+    import torch
+    import jax.numpy as jnp
+    from vistracker_tpu.data.sampling import compute_pca_axes
+    from vistracker_tpu.fit.joint import init_object_orientation
+
+    pts = rng.randn(500, 3) * np.array([2.0, 1.0, 0.5])
+    pts -= pts.mean(0)
+    ref_axes = PCAUtil.compute_pca(pts)
+    ours_axes = compute_pca_axes(pts)
+    # same principal directions in the same order, each row up to sign
+    dots = np.abs(np.sum(ref_axes * ours_axes, axis=1))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-5)
+
+    B = 6
+    src = np.stack([compute_pca_axes(rng.randn(100, 3)) for _ in range(B)])
+    # realistic NOISY predicted axes (exactly-orthogonal tgt makes the
+    # product's singular values degenerate and the SO(3) projection
+    # non-unique — the real pipeline feeds network predictions, and
+    # decopose_axis adds tie-break noise for the residual risk)
+    tgt = np.stack([compute_pca_axes(rng.randn(100, 3)) for _ in range(B)])
+    tgt = tgt + 0.05 * rng.randn(B, 3, 3)
+    ref_R = PCAUtil.init_object_orientation(
+        torch.from_numpy(tgt).double(), torch.from_numpy(src).double()).numpy()
+    ours_R = np.asarray(init_object_orientation(
+        jnp.asarray(tgt), jnp.asarray(src)))
+    np.testing.assert_allclose(ours_R, ref_R, atol=1e-4)
+    # both proper rotations
+    np.testing.assert_allclose(np.linalg.det(ours_R), 1.0, atol=1e-5)
+
+
 @pytest.mark.parametrize("step", [1, 3])
 def test_slide_window_to_sequence_parity(ref_geom, rng, step):
     import torch
