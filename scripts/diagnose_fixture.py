@@ -25,6 +25,9 @@ def geodesic_deg(Ra, Rb):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--run", default="fixture_run")
+    ap.add_argument("--net-preset", default="tiny",
+                    help="which run_fixture_eval preset's recon to "
+                         "diagnose (non-tiny paths carry a _PRESET suffix)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -42,7 +45,8 @@ def main():
     m = np.load(osp.join(args.run, "fixture_meta.npz"))
     fx = {k: m[k] for k in m.files}
     seq_name = str(fx["seq_name"])
-    recon = load_packed(osp.join(args.run, "recon", "recon_fixture",
+    psuf = "" if args.net_preset == "tiny" else f"_{args.net_preset}"
+    recon = load_packed(osp.join(args.run, "recon" + psuf, "recon_fixture",
                                  f"{seq_name}_k1.pkl"))
     gt = load_packed(str(fx["gt_pack"]))
     T = recon.num_frames
@@ -116,7 +120,7 @@ def main():
     rep["smpl_v2v_cm"] = float(np.linalg.norm(
         np.asarray(verts) - np.asarray(gt_verts), axis=-1).mean() * 100)
     print(f"SMPL raw (unaligned) v2v: {rep['smpl_v2v_cm']:.2f} cm")
-    with open(osp.join(args.run, "diagnostics.json"), "w") as f:
+    with open(osp.join(args.run, f"diagnostics{psuf}.json"), "w") as f:
         json.dump(rep, f, indent=2, default=float)
 
 
