@@ -223,17 +223,32 @@ def bench_sifnet_and_stage6(jnp, jax, floor_s, do_stage4=True,
         return model.apply(ctx["params"], ctx["cache"], points, ctx["cc"],
                            ctx["bc"], method=SIFNet.query)[-1]
 
+    # per-STEP queries restricted to the heads the losses actually read
+    # (df+parts / df-only) — the real_track wiring. Runtime-equivalent to
+    # the full query (XLA DCE, see scripts/profile_stage6_heads.py); the
+    # once-per-chunk contact_masks keeps the full query.
+    def query_smpl_step(ctx, points):
+        return model.apply(ctx["params"], ctx["cache"], points, ctx["cc"],
+                           ctx["bc"], method=SIFNet.query_heads,
+                           heads=("df", "parts"))
+
+    def query_df_step(ctx, points):
+        return model.apply(ctx["params"], ctx["cache"], points, ctx["cc"],
+                           ctx["bc"], method=SIFNet.query_heads,
+                           heads=("df",))
+
     def project_norm(ctx, joints):
         return cam.project_points(joints, ctx["cc"])[..., :2]
 
     def project_px(ctx, points):
         return cam.project_screen(points)
 
-    opt_smpl = make_smpl_optimizer(query_fn, project_norm, smpl_model, lms,
-                                   bp, hp, part_labels, jcfg,
+    opt_smpl = make_smpl_optimizer(query_smpl_step, project_norm, smpl_model,
+                                   lms, bp, hp, part_labels, jcfg,
                                    segment_iters=SEG)
-    opt_obj = make_object_optimizer(query_fn, project_px, jcfg,
-                                    segment_iters=SEG)
+    opt_obj = make_object_optimizer(query_df_step, project_px, jcfg,
+                                    segment_iters=SEG,
+                                    contact_query_fn=query_fn)
 
     init = SMPLTParams.from_full(
         jnp.asarray(rng.randn(B, 156).astype(np.float32) * 0.05),

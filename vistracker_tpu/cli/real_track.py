@@ -184,6 +184,23 @@ def run_real_track(args):
         return sifnet.apply(ctx["params"], ctx["cache"], points, ctx["cc"],
                             ctx["bc"], method=SIFNet.query)[-1]
 
+    # head-restricted per-STEP queries: the smpl-phase loss reads only
+    # df + parts, the object-phase losses only df. Runtime-equivalent to
+    # the full query (XLA DCE prunes unread heads inside the jitted
+    # optimizers — measured 1.00x, scripts/profile_stage6_heads.py); this
+    # keeps the traced program / compile payload smaller and documents
+    # what each loss reads. The once-per-chunk contact_masks keeps the
+    # full query.
+    def query_smpl_step(ctx, points):
+        return sifnet.apply(ctx["params"], ctx["cache"], points, ctx["cc"],
+                            ctx["bc"], method=SIFNet.query_heads,
+                            heads=("df", "parts"))
+
+    def query_df_step(ctx, points):
+        return sifnet.apply(ctx["params"], ctx["cache"], points, ctx["cc"],
+                            ctx["bc"], method=SIFNet.query_heads,
+                            heads=("df",))
+
     def project_norm(ctx, joints):
         return cam.project_points(joints, ctx["cc"])[..., :2]
 
@@ -191,12 +208,13 @@ def run_real_track(args):
         return cam.project_screen(points)
 
     seg = getattr(args, "segment_iters", 0) or None
-    opt_smpl = make_smpl_optimizer(query_fn, project_norm, smpl_model,
+    opt_smpl = make_smpl_optimizer(query_smpl_step, project_norm, smpl_model,
                                    landmarks, body_prior, hand_prior,
                                    part_labels, jcfg, segment_iters=seg,
                                    report_iters=True)
-    opt_obj = make_object_optimizer(query_fn, project_px, jcfg,
-                                    segment_iters=seg, report_iters=True)
+    opt_obj = make_object_optimizer(query_df_step, project_px, jcfg,
+                                    segment_iters=seg, report_iters=True,
+                                    contact_query_fn=query_fn)
     iters_log = {"smpl": [], "joint": []}
 
     from ..models.sifnet import pack_cache, cast_cache

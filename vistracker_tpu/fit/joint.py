@@ -470,7 +470,8 @@ def make_smpl_optimizer(query_fn, project_fn, model: SMPLModel,
 def make_object_optimizer(query_fn, project_px,
                           cfg: JointFitConfig = JointFitConfig(),
                           segment_iters: int | None = None,
-                          report_iters: bool = False):
+                          report_iters: bool = False,
+                          contact_query_fn=None):
     """Build the jit'd optimize_smpl_object program.
 
     query_fn(ctx, points (B,N,3)) -> head dict; project_px(ctx, points
@@ -480,7 +481,16 @@ def make_object_optimizer(query_fn, project_px,
     inputs per chunk: template points (B, N_o, 3), occ_ratios (B,),
     smpl_verts (B, V, 3) (FROZEN during object phases, as in the
     reference), part labels, silhouette refs, optional SDF grid.
+
+    The per-STEP losses read only preds["df"], so query_fn may be a
+    df-only query (SIFNet.query_heads(heads=("df",))) — note this is a
+    program-size/explicitness win, not a runtime one: XLA DCE already
+    prunes unread heads inside the jitted phases (measured 1.00x,
+    scripts/profile_stage6_heads.py). contact_query_fn (default:
+    query_fn) is used only by the once-per-chunk contact_masks and must
+    also return "parts".
     """
+    contact_query_fn = contact_query_fn or query_fn
 
     def obj_losses(obj, preds, obj_s, occ, terms):
         df_o = jnp.minimum(preds["df"][..., 1], cfg.df_o_clamp)
@@ -619,11 +629,11 @@ def make_object_optimizer(query_fn, project_px,
         """Contact dfs computed ONCE from the phase-2 result and frozen
         (recon_fit_trivis_full.py:242-253)."""
         obj_now, _ = transformed(params, env)
-        preds_o = query_fn(env["ctx"], obj_now)
+        preds_o = contact_query_fn(env["ctx"], obj_now)
         df_obj_h = jax.lax.stop_gradient(preds_o["df"][..., 0])
         labels_o = jnp.argmax(
             jax.lax.stop_gradient(preds_o["parts"]), -1)          # (B, N_o)
-        preds_h = query_fn(env["ctx"], env["smpl_verts"])
+        preds_h = contact_query_fn(env["ctx"], env["smpl_verts"])
         df_hum_o = jax.lax.stop_gradient(preds_h["df"][..., 1])
         return labels_o, df_hum_o < cfg.cont_thres, df_obj_h < cfg.cont_thres
 

@@ -307,6 +307,35 @@ class SIFNet(nn.Module):
         df = self.df(feat)
         return jnp.where(in_img[..., None], df, self.cfg.out_dist)
 
+    def query_heads(self, cache, points, crop_center, body_center,
+                    heads: tuple = ("df",)):
+        """Last-stack query restricted to a subset of decoder heads.
+
+        The stage-6 per-step losses read only `df` (object phases,
+        fit/joint.py:loss_obj_env/loss_joint_env) or `df` + `parts` (SMPL
+        phase, loss_terms); each head is a full 4-layer MLP from the
+        611-d feature (make_decoder, reference chore.py:113-126). Under
+        jit this is runtime-equivalent to query() + subscript (XLA DCE
+        prunes unread heads — measured 1.00x on the stage-6 phases,
+        scripts/profile_stage6_heads.py); it keeps the traced program
+        smaller and the head dependence explicit. `heads` must be a
+        static tuple. df gets the OUT_DIST clamp like query()."""
+        feat, in_img = self._point_features(cache, -1, points, crop_center,
+                                            body_center)
+        table = {"df": self.df, "parts": self.part_predictor,
+                 "pca": self.pca_predictor, "centers": self.center_predictor}
+        if self.cfg.has_visibility:
+            table["vis"] = self.visib_predictor
+        out = {}
+        for h in heads:
+            v = table[h](feat)
+            if h == "df":
+                v = jnp.where(in_img[..., None], v, self.cfg.out_dist)
+            elif h == "pca":
+                v = v.reshape(v.shape[:-1] + (3, 3))
+            out[h] = v
+        return out
+
     def query(self, cache, points, crop_center, body_center):
         """Query all cached stacks at 3D points.
 
