@@ -101,6 +101,34 @@ def train_sifnet(frames, part_labels, out_dir, crop_size, net_size,
     # in ~30 s pooled).
     POOL = 8
     memo = {}
+    # Disk-backed pool: a process restart (platform hangs are a known
+    # axon-terminal failure mode) must not re-pay the CPU boundary
+    # sampling for the whole pool — on the current 1-core host that is
+    # ~720 sets x 1-2 s serialized. Sample sets are tiny (the per-frame
+    # 8 MB image is NOT cached; it is re-attached from `frames`), keyed
+    # by the exact rng seed + sampling params so any change invalidates.
+    cache_dir = osp.join(osp.dirname(out_dir),
+                         f"sample_cache_s{samples}_g{grid_ratio:g}")
+    os.makedirs(cache_dir, exist_ok=True)
+    _IM_KEYS = ("images",)
+
+    def _build(i, slot):
+        path = osp.join(cache_dir, f"f{i:04d}_p{slot}.npz")
+        if osp.exists(path):
+            try:
+                with np.load(path) as z:
+                    return {k: z[k] for k in z.files}
+            except Exception:
+                pass  # partial write from a killed process: rebuild
+        built = sifnet_example(
+            frames[i], part_labels, num_samples=samples,
+            grid_ratio=grid_ratio,
+            rng=np.random.RandomState(i * 7919 + 13 + slot))
+        slim = {k: v for k, v in built.items() if k not in _IM_KEYS}
+        tmp = path + ".tmp.npz"
+        np.savez(tmp, **slim)
+        os.replace(tmp, path)
+        return slim
 
     def example(i):
         # a raised grid_ratio floods empty space with uniform points so
@@ -110,13 +138,12 @@ def train_sifnet(frames, part_labels, out_dir, crop_size, net_size,
             calls[i] += 1
         key = (i, c % POOL)
         if key not in memo:
-            built = sifnet_example(
-                frames[i], part_labels, num_samples=samples,
-                grid_ratio=grid_ratio,
-                rng=np.random.RandomState(i * 7919 + 13 + key[1]))
+            slim = _build(i, key[1])
             with calls_lock:
-                memo.setdefault(key, built)
-        return memo[key]
+                memo.setdefault(key, slim)
+        out = dict(memo[key])
+        out["images"] = frames[i]["image"].astype(np.float32)
+        return out
 
     loader = PrefetchLoader(example, len(frames), batch_size=4,
                             num_workers=10)
