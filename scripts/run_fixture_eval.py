@@ -145,8 +145,11 @@ def train_sifnet(frames, part_labels, out_dir, crop_size, net_size,
         out["images"] = frames[i]["image"].astype(np.float32)
         return out
 
+    # size the worker pool to the host: on the degraded 1-core terminal
+    # 10 workers just thrash the scheduler (89% sys time observed); with
+    # the disk-backed pool the per-item cost is a cache hit anyway
     loader = PrefetchLoader(example, len(frames), batch_size=4,
-                            num_workers=10)
+                            num_workers=min(10, 2 * (os.cpu_count() or 1)))
     # df clamp: the release value (clamp_thres 0.1, torch.clamp semantics =
     # zero gradient above the clamp) is a TRAP at this overfit scale — the
     # x1000-weighted center/vis losses shift the shared features until
