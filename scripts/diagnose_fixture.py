@@ -29,6 +29,9 @@ def main():
                     help="which run_fixture_eval preset's recon to "
                          "diagnose (non-tiny paths carry a _PRESET suffix)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--heldout", action="store_true",
+                    help="diagnose the held-out-motion recon "
+                         "(fixture2_meta + recon_heldout paths)")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -42,11 +45,13 @@ def main():
     from vistracker_tpu.fit.joint import init_object_orientation
     from vistracker_tpu.utils.mesh import load_ply
 
-    m = np.load(osp.join(args.run, "fixture_meta.npz"))
+    meta = "fixture2_meta.npz" if args.heldout else "fixture_meta.npz"
+    m = np.load(osp.join(args.run, meta))
     fx = {k: m[k] for k in m.files}
     seq_name = str(fx["seq_name"])
     psuf = "" if args.net_preset == "tiny" else f"_{args.net_preset}"
-    recon = load_packed(osp.join(args.run, "recon" + psuf, "recon_fixture",
+    rdir = ("recon_heldout" if args.heldout else "recon") + psuf
+    recon = load_packed(osp.join(args.run, rdir, "recon_fixture",
                                  f"{seq_name}_k1.pkl"))
     gt = load_packed(str(fx["gt_pack"]))
     T = recon.num_frames
@@ -120,7 +125,8 @@ def main():
     rep["smpl_v2v_cm"] = float(np.linalg.norm(
         np.asarray(verts) - np.asarray(gt_verts), axis=-1).mean() * 100)
     print(f"SMPL raw (unaligned) v2v: {rep['smpl_v2v_cm']:.2f} cm")
-    with open(osp.join(args.run, f"diagnostics{psuf}.json"), "w") as f:
+    hsuf = "_heldout" if args.heldout else ""
+    with open(osp.join(args.run, f"diagnostics{hsuf}{psuf}.json"), "w") as f:
         json.dump(rep, f, indent=2, default=float)
 
 
