@@ -384,6 +384,16 @@ def main():
         metric, value = "pipeline_composite_frames_per_sec", 1.0 / per_frame
         unit = ("frames/s (stages 1-2 + 4 + 6 measured at release budgets, "
                 "full-budget worst case, single chip)")
+    elif "stage6_joint_opt_frames_per_sec" in comp:
+        # smplt phase lost (e.g. compile timeout on a degraded host) but
+        # the metric-critical stage measured: headline stage 6 alone —
+        # it dominates the reference budget, so the rate stays a
+        # meaningful (conservative) vs-baseline figure
+        metric = "stage6_joint_opt_frames_per_sec"
+        value = comp[metric]
+        unit = ("frames/s (stage-6 joint optimization, full reference "
+                "budget, release net, single chip; other stages lost "
+                "this run)")
     else:  # partial fallback: the stage-1-2 figure (round-1 contract)
         metric, value = "smplt_fit_frames_per_sec", smplt_fps or 0.0
         unit = "frames/s (512-frame chunk, 1080 Adam steps, SMPL-H 6890)"

@@ -285,7 +285,8 @@ def _load_fx(args, heldout=False):
         fx = generate_fixture_sequence(
             data_dir, T=args.frames, raster=args.raster,
             real_assets=real_assets,
-            motion_seed=args.heldout_motion_seed if heldout else 0)
+            motion_seed=args.heldout_motion_seed if heldout else 0,
+            object_shape=args.object_shape)
         np.savez(meta_path, **fx)
     return fx, osp.join(data_dir, "assets")
 
@@ -451,6 +452,13 @@ def main():
                          "(generate a second motion sequence, track it "
                          "with the seq-1 checkpoints, evaluate)")
     ap.add_argument("--heldout-motion-seed", type=int, default=1)
+    ap.add_argument("--object-shape", choices=("box", "lbox"),
+                    default="box",
+                    help="fixture object template: 'box' (has exact "
+                         "180-deg rotational self-symmetries — an "
+                         "irreducible rotation-ambiguity floor) or "
+                         "'lbox' (asymmetric corner-flanged box, pose "
+                         "fully observable). Use a fresh --out per shape")
     ap.add_argument("--heldout-results", default=None)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--phase", choices=PHASES + HELDOUT_PHASES, default=None)
@@ -480,7 +488,7 @@ def main():
     for k in ("out", "frames", "raster", "net_size", "crop_size",
               "chunk_size", "sif_epochs", "sif_samples", "grid_ratio",
               "results", "heldout_motion_seed", "heldout_results",
-              "net_preset"):
+              "net_preset", "object_shape"):
         fwd += ["--" + k.replace("_", "-"), str(getattr(args, k))]
     if args.cpu:
         fwd.append("--cpu")

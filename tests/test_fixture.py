@@ -96,3 +96,39 @@ def test_fixture_heldout_motion_seed(tmp_path):
     rr = fx2["rot_gt"] @ fx2["rot_gt"].transpose(0, 2, 1)
     np.testing.assert_allclose(rr, np.broadcast_to(np.eye(3), rr.shape),
                                atol=1e-5)
+
+
+def test_lbox_template_breaks_box_symmetries(tmp_path):
+    """The lbox fixture template has NO 180-deg rotational self-symmetry
+    (the plain box has three exact ones), so object pose is fully
+    observable from images — the symmetry-ambiguity control for the
+    held-out rotation-drift analysis."""
+    from scipy.spatial import cKDTree
+    from vistracker_tpu.cli.synthetic import box_mesh, lbox_mesh
+
+    def sym_residual(v):
+        # residual of the vert set under 180-deg flips about x/y/z
+        out = []
+        for axis in range(3):
+            s = -np.ones(3)
+            s[axis] = 1.0
+            flipped = v * s  # 180-deg rotation about `axis`
+            d, _ = cKDTree(v).query(flipped)
+            out.append(d.max())
+        return np.array(out)
+
+    bv, _ = box_mesh((0.45, 0.3, 0.35))
+    bv = bv - bv.mean(0)
+    assert sym_residual(bv).max() < 1e-6          # box: exact symmetries
+    lv, lf = lbox_mesh()
+    assert sym_residual(lv).min() > 0.05          # lbox: all broken
+    assert lf.max() == len(lv) - 1
+
+    # generator accepts the shape and writes the asymmetric template
+    from vistracker_tpu.utils.mesh import load_ply
+    fx = generate_fixture_sequence(str(tmp_path), T=2, raster=64,
+                                   object_shape="lbox")
+    tv, tf = load_ply(os.path.join(fx["objects_root"], "boxmedium",
+                                   "boxmedium.ply"))
+    assert len(tv) == len(lv) and len(tf) == len(lf)
+    assert sym_residual(tv - tv.mean(0)).min() > 0.05

@@ -33,6 +33,28 @@ def box_mesh(extents=(0.3, 0.2, 0.25)):
     return v, f
 
 
+def lbox_mesh(extents=(0.45, 0.3, 0.35), flange=(0.2, 0.18, 0.16)):
+    """Asymmetric L-shaped template: the main box plus a smaller flange
+    box fused onto one corner (offset in all three axes).
+
+    A plain box has exact 180-degree rotational self-symmetries (D2
+    group): its silhouettes and distance fields are identical under those
+    flips, so no image-conditioned net can resolve them and vertex-
+    correspondence metrics (v2v, rotation error) carry an irreducible
+    ambiguity floor. The corner flange breaks every rotational
+    self-symmetry, making the object pose fully observable — used by the
+    fixture evals to separate pipeline error from box-symmetry ambiguity.
+    """
+    v1, f1 = box_mesh(extents)
+    v2, f2 = box_mesh(flange)
+    off = np.array([extents[0] / 2 + flange[0] / 2 - 0.02,
+                    extents[1] / 2 - flange[1] / 2,
+                    extents[2] / 2 - flange[2] / 2], np.float32)
+    v = np.concatenate([v1, v2 + off], 0)
+    f = np.concatenate([f1, f2 + len(v1)], 0)
+    return (v - v.mean(0)).astype(np.float32), f.astype(np.int32)
+
+
 @dataclasses.dataclass
 class SyntheticScene:
     model: object                 # SMPLModel (toy)

@@ -408,7 +408,8 @@ def generate_fixture_sequence(out_dir: str, T: int = 30,
                               seed: int = 0, raster: int = 512,
                               kid: int = 1, noise_px: float = 2.0,
                               real_assets: str | None = None,
-                              motion_seed: int = 0):
+                              motion_seed: int = 0,
+                              object_shape: str = "box"):
     """Write a BEHAVE-layout sequence + GT pack + model pkl + template.
 
     Layout written under out_dir:
@@ -424,13 +425,22 @@ def generate_fixture_sequence(out_dir: str, T: int = 30,
     sway, object orbit and spin) while keeping the humanoid model, assets
     and object template BYTE-IDENTICAL to motion_seed=0 — a held-out
     sequence for generalization evals of nets trained on the default one.
+
+    object_shape selects the template geometry: "box" (default; carries
+    the exact 180-degree rotational self-symmetries of a cuboid — an
+    irreducible pose-ambiguity floor for image-conditioned rotation) or
+    "lbox" (cli/synthetic.lbox_mesh — a corner-flanged asymmetric box
+    with NO rotational self-symmetry, making object pose fully
+    observable). The sequence/category naming stays "boxmedium" either
+    way so all path plumbing is shape-independent; runs with different
+    shapes must use different out_dirs.
     """
     import jax.numpy as jnp
     from PIL import Image
     from ..core.smpl import load_smpl_pkl, lbs_forward
     from ..core.camera import PerspectiveCamera
     from ..core.landmarks import load_landmarks
-    from ..cli.synthetic import box_mesh
+    from ..cli.synthetic import box_mesh, lbox_mesh
     from ..data.packed import save_packed
     from ..utils.mesh import save_ply
     import pickle
@@ -488,7 +498,10 @@ def generate_fixture_sequence(out_dir: str, T: int = 30,
     joints2d = np.asarray(cam.project_screen(
         landmarks.body_joints(jnp.asarray(verts))))
 
-    temp_v, temp_f = box_mesh((0.45, 0.3, 0.35))
+    if object_shape == "lbox":
+        temp_v, temp_f = lbox_mesh((0.45, 0.3, 0.35))
+    else:
+        temp_v, temp_f = box_mesh((0.45, 0.3, 0.35))
     obj_root = osp.join(out_dir, "objects", "boxmedium")
     os.makedirs(obj_root, exist_ok=True)
     save_ply(osp.join(obj_root, "boxmedium.ply"), temp_v, temp_f)
