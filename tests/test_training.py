@@ -224,3 +224,38 @@ def test_kinect_calib_roundtrip(tmp_path, rng):
     kt = KinectTransform(str(seq))
     np.testing.assert_allclose(kt.world2local(pts, 1),
                                calib.world2local(pts), atol=1e-12)
+
+def test_epoch_ck_period_checkpoint_cadence(tmp_path):
+    """epoch_ck_period=N checkpoints every N epochs plus always at the
+    final epoch (the 1-core-host knob: tiny epochs pay ~25 s per orbax
+    save + val otherwise). Default 1 keeps reference parity
+    (trainer.py:190-193: checkpoint + val at every epoch end)."""
+    import json
+
+    def step_fn(state, batch):
+        return {"params": state["params"],
+                "step": state["step"] + 1}, jnp.float32(1.0), {}
+
+    def val_fn(state, batch):
+        return jnp.float32(2.0)
+
+    loader = PrefetchLoader(lambda i: {"x": np.zeros(2, np.float32)},
+                            4, batch_size=2, num_workers=1)
+
+    def run(period, epochs, out):
+        state = {"params": jnp.zeros(3), "step": jnp.int32(0)}
+        cfg = LoopConfig(num_epochs=epochs, ck_period_min=1e9,
+                         epoch_ck_period=period, out_dir=str(out),
+                         max_val_batches=1)
+        train_loop(state, step_fn, loader, val_loader=loader,
+                   val_loss_fn=val_fn, cfg=cfg,
+                   to_device=lambda b: b)
+        recs = [json.loads(l) for l in open(str(out / "metrics.jsonl"))]
+        return [r["step"] for r in recs if "val_loss" in r]
+
+    # default parity: a val record per epoch (2 steps/epoch)
+    assert run(1, 3, tmp_path / "p1") == [2, 4, 6]
+    # period 2 over 5 epochs: epochs 2, 4 and the forced final epoch 5
+    assert run(2, 5, tmp_path / "p2") == [4, 8, 10]
+    # period larger than the run still checkpoints the final epoch
+    assert run(10, 3, tmp_path / "p10") == [6]

@@ -30,6 +30,11 @@ import optax
 class LoopConfig:
     num_epochs: int = 80
     ck_period_min: float = 30.0     # checkpoint/eval period in minutes
+    epoch_ck_period: int = 1        # checkpoint/eval every N epochs
+                                    # (1 = reference parity, trainer.py:
+                                    # 190-193; raise for tiny epochs where
+                                    # the orbax save + val loop dominates
+                                    # the wall time)
     max_val_batches: int = 64       # trainer.py:348-350
     out_dir: str = "experiments/default"
     keep_checkpoints: int = 3
@@ -202,7 +207,11 @@ def train_loop(state, step_fn: Callable, train_loader: Iterable,
                 if val is not None:
                     ckio.record_best(step, val)
                 last_ck = time.time()
-        # end of epoch: checkpoint + val (trainer.py:190-193)
+        # end of epoch: checkpoint + val (trainer.py:190-193); always at
+        # the final epoch so the best-model record covers the end state
+        if (epoch + 1) % max(1, cfg.epoch_ck_period) \
+                and epoch != cfg.num_epochs - 1:
+            continue
         if step != last_saved:
             ckio.save(step, state)
             last_saved = step
