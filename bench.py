@@ -319,6 +319,10 @@ def _measure_floor(jnp, jax):
 
 def run_phase(phase: str, stage6_batch: int = 32):
     """One bench phase in this process; prints a single JSON dict."""
+    from vistracker_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()  # big-program compiles take minutes-to-tens-of-
+    # minutes on a degraded host; phases rerun identical programs across
+    # subprocess boundaries (and across bench invocations)
     import jax
     import jax.numpy as jnp
     floor_s = _measure_floor(jnp, jax)

@@ -38,6 +38,8 @@ def _time(fn, *args, n=20, floor=0.0):
 
 
 def main():
+    from vistracker_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     import jax
     import jax.numpy as jnp
     from vistracker_tpu.models.sifnet import SIFNet, SIFNetConfig, pack_cache

@@ -329,6 +329,9 @@ def run_phase(args):
     crashes when one process compiles too many (PERF_NOTES round 2; the
     single-process version of this script died in stage 6 after training
     all three model families)."""
+    from vistracker_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()  # phases are fresh subprocesses re-running the
+    # same jit programs (and box/lbox runs share them entirely)
     from vistracker_tpu.core.smpl import load_smpl_pkl
     from vistracker_tpu.core.landmarks import (load_landmarks,
                                                load_part_labels,

@@ -23,6 +23,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compile cache: the suite re-compiles the same programs every
+# run; on the 1-core host the compile time dominates the 50-min suite.
+from vistracker_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 # Parity tests compare against torch fp32; the backend default matmul
 # precision is bf16 even on CPU, so pin fp32 for the test session.
 jax.config.update("jax_default_matmul_precision", "highest")
