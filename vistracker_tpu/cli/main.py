@@ -1061,6 +1061,10 @@ def main(argv=None):
     if getattr(args, "cpu", False):
         import jax
         jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: pipeline stages rerun identical jit
+    # programs across invocations (VISTRACKER_COMPILE_CACHE=0 disables)
+    from ..utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     if args.cmd == "track":
         if not args.synthetic and not args.seq:
             raise SystemExit("track requires --synthetic or --seq")
