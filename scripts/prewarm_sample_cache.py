@@ -1,0 +1,117 @@
+"""Prewarm run_fixture_eval's disk-backed SIF-Net sample-set pool.
+
+The fixture trainer (scripts/run_fixture_eval.py:train_sifnet) builds its
+POOL independent boundary-sample sets per frame lazily inside the loader;
+on a 1-core host that serializes ~T*POOL CPU-heavy builds (each a full
+boundary_sample over the SMPL+object meshes) against the training loop.
+This script builds the SAME npz files (same rng-seed formula
+i*7919+13+slot, same sampling params, same cache path) from a SEPARATE
+pure-CPU process, in reverse slot order so it meets the trainer's forward
+pass in the middle. Run it at nice 19 alongside training: it soaks up the
+host cycles the trainer leaves idle while blocked on device RPC.
+
+Launch with the axon/TPU plugin env stripped so JAX stays on CPU, e.g.:
+  (unset PYTHONPATH PALLAS_AXON_POOL_IPS ...; JAX_PLATFORMS=cpu \
+   nice -n 19 python scripts/prewarm_sample_cache.py --out fixture_run)
+
+Collisions with the trainer are safe: writers use unique tmp names +
+os.replace, and the trainer's _build re-samples on a corrupt read.
+"""
+import argparse
+import os
+import os.path as osp
+import sys
+
+import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="fixture_run",
+                    help="run_fixture_eval --out dir (holds "
+                         "fixture_meta.npz and the sample cache)")
+    ap.add_argument("--sif-samples", type=int, default=2500)
+    ap.add_argument("--grid-ratio", type=float, default=0.15)
+    ap.add_argument("--pool", type=int, default=8)
+    args = ap.parse_args()
+
+    from vistracker_tpu.core.smpl import load_smpl_pkl, lbs_forward
+    from vistracker_tpu.core.landmarks import (load_landmarks,
+                                               load_part_labels,
+                                               part_labels_array)
+    from vistracker_tpu.data.behave import FrameDataReader
+    from vistracker_tpu.data.images import crop_center_from_masks
+    from vistracker_tpu.data.datasets import sifnet_example
+    from vistracker_tpu.utils.mesh import load_ply
+    import jax.numpy as jnp
+
+    m = np.load(osp.join(args.out, "fixture_meta.npz"))
+    fx = {k: m[k] for k in m.files}
+    seq_dir = str(fx["seq_dir"])
+    assets = osp.join(osp.dirname(seq_dir), "assets")
+    model = load_smpl_pkl(str(fx["model_pkl"]))
+    landmarks = load_landmarks(assets)
+    part_labels = np.asarray(part_labels_array(
+        load_part_labels(assets), num_verts=model.v_template.shape[0]))
+
+    verts, _, _, _ = lbs_forward(model, jnp.asarray(fx["poses"]),
+                                 jnp.asarray(fx["betas"]),
+                                 jnp.asarray(fx["trans"]))
+    verts = np.asarray(verts)
+    bc = np.asarray(landmarks.smpl_center(jnp.asarray(verts)))
+    temp_v, temp_f = load_ply(osp.join(str(fx["objects_root"]), "boxmedium",
+                                       "boxmedium.ply"))
+    temp_v = temp_v - temp_v.mean(0)
+    reader = FrameDataReader(seq_dir)
+    T = len(reader)
+    smpl_faces = np.asarray(model.faces)
+    # images are NOT cached in the slim npz (train_sifnet re-attaches them
+    # from memory), so a 1x1 dummy satisfies sifnet_example's schema
+    dummy_img = np.zeros((1, 1, 8), np.float32)
+
+    frames = []
+    for i in range(T):
+        pm = reader.get_mask(i, 1, "person")
+        om = reader.get_mask(i, 1, "obj")
+        cc = crop_center_from_masks(pm, om)
+        ov = temp_v @ fx["rot_gt"][i].T + fx["obj_trans_gt"][i]
+        frames.append(dict(
+            image=dummy_img, crop_center=np.asarray(cc),
+            body_center=bc[i].astype(np.float32),
+            smpl_verts=verts[i].astype(np.float32),
+            smpl_faces=smpl_faces,
+            obj_verts=ov.astype(np.float32), obj_faces=temp_f,
+            visibility=float(fx["occ_ratios"][i])))
+    print(f"[prewarm] {T} frame dicts ready", flush=True)
+
+    # MUST match train_sifnet's cache_dir / file / seed conventions
+    cache_dir = osp.join(args.out,
+                         f"sample_cache_s{args.sif_samples}"
+                         f"_g{args.grid_ratio:g}")
+    os.makedirs(cache_dir, exist_ok=True)
+    built = skipped = 0
+    for slot in range(args.pool - 1, -1, -1):
+        for i in range(T - 1, -1, -1):
+            path = osp.join(cache_dir, f"f{i:04d}_p{slot}.npz")
+            if osp.exists(path):
+                skipped += 1
+                continue
+            ex = sifnet_example(
+                frames[i], part_labels, num_samples=args.sif_samples,
+                grid_ratio=args.grid_ratio,
+                rng=np.random.RandomState(i * 7919 + 13 + slot))
+            slim = {k: v for k, v in ex.items() if k != "images"}
+            tmp = f"{path}.pw{os.getpid()}.npz"
+            np.savez(tmp, **slim)
+            os.replace(tmp, path)
+            built += 1
+            if built % 25 == 0:
+                print(f"[prewarm] built {built} skipped {skipped}",
+                      flush=True)
+    print(f"[prewarm] done: built {built} skipped {skipped}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
