@@ -4,18 +4,21 @@ The fixture trainer (scripts/run_fixture_eval.py:train_sifnet) builds its
 POOL independent boundary-sample sets per frame lazily inside the loader;
 on a 1-core host that serializes ~T*POOL CPU-heavy builds (each a full
 boundary_sample over the SMPL+object meshes) against the training loop.
-This script builds the SAME npz files (same rng-seed formula
-i*7919+13+slot, same sampling params, same cache path) from a SEPARATE
+This script builds the SAME npz files (conventions imported from
+run_fixture_eval: build_sample_set/sample_cache_dir) from a SEPARATE
 pure-CPU process, in reverse slot order so it meets the trainer's forward
 pass in the middle. Run it at nice 19 alongside training: it soaks up the
-host cycles the trainer leaves idle while blocked on device RPC.
-
-Launch with the axon/TPU plugin env stripped so JAX stays on CPU, e.g.:
-  (unset PYTHONPATH PALLAS_AXON_POOL_IPS ...; JAX_PLATFORMS=cpu \
-   nice -n 19 python scripts/prewarm_sample_cache.py --out fixture_run)
+host cycles the trainer leaves idle while blocked on device RPC. CPU-only
+JAX is enforced below — no launch-env discipline needed.
 
 Collisions with the trainer are safe: writers use unique tmp names +
 os.replace, and the trainer's _build re-samples on a corrupt read.
+
+Numerical note: lbs_forward/smpl_center run on CPU JAX here but on the
+TPU in the trainer, so a sample set built by this process can differ in
+the last float bits from one the trainer would have built. Harmless as
+training noise, but it means "keyed by the exact rng seed" determinism
+holds per-process, not across who wins the build race.
 """
 import argparse
 import os
@@ -23,6 +26,15 @@ import os.path as osp
 import sys
 
 import numpy as np
+
+# Force CPU-only JAX regardless of launch env: a plain invocation must
+# never grab the TPU out from under the in-flight trainer this script is
+# meant to assist (the axon sitecustomize registers the remote backend
+# whenever PALLAS_AXON_* env is present).
+os.environ["JAX_PLATFORMS"] = "cpu"
+for _k in [k for k in os.environ
+           if k.startswith(("PALLAS_AXON", "AXON_", "TPU_", "PJRT_"))]:
+    os.environ.pop(_k)
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
@@ -43,8 +55,8 @@ def main():
                                                part_labels_array)
     from vistracker_tpu.data.behave import FrameDataReader
     from vistracker_tpu.data.images import crop_center_from_masks
-    from vistracker_tpu.data.datasets import sifnet_example
     from vistracker_tpu.utils.mesh import load_ply
+    from run_fixture_eval import build_sample_set, sample_cache_dir
     import jax.numpy as jnp
 
     m = np.load(osp.join(args.out, "fixture_meta.npz"))
@@ -86,26 +98,18 @@ def main():
             visibility=float(fx["occ_ratios"][i])))
     print(f"[prewarm] {T} frame dicts ready", flush=True)
 
-    # MUST match train_sifnet's cache_dir / file / seed conventions
-    cache_dir = osp.join(args.out,
-                         f"sample_cache_s{args.sif_samples}"
-                         f"_g{args.grid_ratio:g}")
+    # conventions imported from run_fixture_eval so they cannot drift
+    cache_dir = sample_cache_dir(args.out, args.sif_samples,
+                                 args.grid_ratio)
     os.makedirs(cache_dir, exist_ok=True)
     built = skipped = 0
     for slot in range(args.pool - 1, -1, -1):
         for i in range(T - 1, -1, -1):
-            path = osp.join(cache_dir, f"f{i:04d}_p{slot}.npz")
-            if osp.exists(path):
+            if osp.exists(osp.join(cache_dir, f"f{i:04d}_p{slot}.npz")):
                 skipped += 1
                 continue
-            ex = sifnet_example(
-                frames[i], part_labels, num_samples=args.sif_samples,
-                grid_ratio=args.grid_ratio,
-                rng=np.random.RandomState(i * 7919 + 13 + slot))
-            slim = {k: v for k, v in ex.items() if k != "images"}
-            tmp = f"{path}.pw{os.getpid()}.npz"
-            np.savez(tmp, **slim)
-            os.replace(tmp, path)
+            build_sample_set(frames, part_labels, i, slot,
+                             args.sif_samples, args.grid_ratio, cache_dir)
             built += 1
             if built % 25 == 0:
                 print(f"[prewarm] built {built} skipped {skipped}",

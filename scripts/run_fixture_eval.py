@@ -72,13 +72,46 @@ def build_training_frames(fx, model, landmarks, crop_size, net_size):
     return frames, temp_v, temp_f
 
 
+# --- SIF-Net sample-pool cache conventions -------------------------------
+# ONE definition shared with scripts/prewarm_sample_cache.py (which builds
+# the same files from a separate pure-CPU process) so the dir format, file
+# naming, seed formula, and slim-npz schema cannot drift between the two.
+SAMPLE_POOL = 8
+_SAMPLE_IM_KEYS = ("images",)  # never cached; re-attached from memory
+
+
+def sample_cache_dir(out_root, samples, grid_ratio):
+    return osp.join(out_root, f"sample_cache_s{samples}_g{grid_ratio:g}")
+
+
+def build_sample_set(frames, part_labels, i, slot, samples, grid_ratio,
+                     cache_dir):
+    """Load (or build + atomically persist) one slim cached sample set."""
+    from vistracker_tpu.data.datasets import sifnet_example
+    path = osp.join(cache_dir, f"f{i:04d}_p{slot}.npz")
+    if osp.exists(path):
+        try:
+            with np.load(path) as z:
+                return {k: z[k] for k in z.files}
+        except Exception:
+            pass  # partial write from a killed process: rebuild
+    built = sifnet_example(
+        frames[i], part_labels, num_samples=samples, grid_ratio=grid_ratio,
+        rng=np.random.RandomState(i * 7919 + 13 + slot))
+    slim = {k: v for k, v in built.items() if k not in _SAMPLE_IM_KEYS}
+    tmp = f"{path}.{os.getpid()}.tmp.npz"
+    np.savez(tmp, **slim)
+    os.replace(tmp, path)
+    return slim
+
+
 def train_sifnet(frames, part_labels, out_dir, crop_size, net_size,
                  epochs, samples, lr=1e-3, grid_ratio=0.01, preset="tiny"):
     import jax
     import jax.numpy as jnp
     from vistracker_tpu.models.sifnet import SIFNet, sifnet_preset
     from vistracker_tpu.core.camera import PerspectiveCamera
-    from vistracker_tpu.data.datasets import PrefetchLoader, sifnet_example
+    from vistracker_tpu.data.datasets import PrefetchLoader
     from vistracker_tpu.fit.train import (TrainConfig, init_train_state,
                                           make_train_step)
     from vistracker_tpu.fit.trainer_loop import LoopConfig, train_loop
@@ -99,7 +132,7 @@ def train_sifnet(frames, part_labels, out_dir, crop_size, net_size,
     # sampling on every call (fresh-per-epoch sampling on one host core
     # starves the TPU: measured ~10 steps/min loader-bound vs ~23 steps
     # in ~30 s pooled).
-    POOL = 8
+    POOL = SAMPLE_POOL
     memo = {}
     # Disk-backed pool: a process restart (platform hangs are a known
     # axon-terminal failure mode) must not re-pay the CPU boundary
@@ -107,28 +140,14 @@ def train_sifnet(frames, part_labels, out_dir, crop_size, net_size,
     # ~720 sets x 1-2 s serialized. Sample sets are tiny (the per-frame
     # 8 MB image is NOT cached; it is re-attached from `frames`), keyed
     # by the exact rng seed + sampling params so any change invalidates.
-    cache_dir = osp.join(osp.dirname(out_dir),
-                         f"sample_cache_s{samples}_g{grid_ratio:g}")
+    # Conventions live in build_sample_set/sample_cache_dir, shared with
+    # scripts/prewarm_sample_cache.py.
+    cache_dir = sample_cache_dir(osp.dirname(out_dir), samples, grid_ratio)
     os.makedirs(cache_dir, exist_ok=True)
-    _IM_KEYS = ("images",)
 
     def _build(i, slot):
-        path = osp.join(cache_dir, f"f{i:04d}_p{slot}.npz")
-        if osp.exists(path):
-            try:
-                with np.load(path) as z:
-                    return {k: z[k] for k in z.files}
-            except Exception:
-                pass  # partial write from a killed process: rebuild
-        built = sifnet_example(
-            frames[i], part_labels, num_samples=samples,
-            grid_ratio=grid_ratio,
-            rng=np.random.RandomState(i * 7919 + 13 + slot))
-        slim = {k: v for k, v in built.items() if k not in _IM_KEYS}
-        tmp = path + ".tmp.npz"
-        np.savez(tmp, **slim)
-        os.replace(tmp, path)
-        return slim
+        return build_sample_set(frames, part_labels, i, slot, samples,
+                                grid_ratio, cache_dir)
 
     def example(i):
         # a raised grid_ratio floods empty space with uniform points so

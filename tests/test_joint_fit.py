@@ -128,6 +128,52 @@ def test_object_optimizer_converges_to_gt_center(rng):
     np.testing.assert_allclose(det, 1.0, atol=1e-4)
 
 
+def test_collision_term_live(rng):
+    """The --collision SDF-grid penalty is reachable through the real
+    optimizer factory: with interpenetrating meshes the joint-phase loss
+    trajectory changes when the sdf_grid is supplied (reference term:
+    recon_fit_base.py:736-765, weight 3^2 recon_fit_trivis_full.py:139)."""
+    from vistracker_tpu.ops.sdf_grid import SDFGrid, penetration_loss
+    from vistracker_tpu.utils.mesh import signed_distance_grid
+
+    verts_t, faces_t = _sphere_mesh()
+    vals, bmin, bmax = signed_distance_grid(verts_t, faces_t, 32)
+    grid = SDFGrid(jnp.asarray(vals), jnp.asarray(bmin), jnp.asarray(bmax))
+    # sanity: inside the template sphere penetrates, far outside does not
+    assert float(penetration_loss(grid, jnp.zeros((1, 4, 3)))) > 0
+    assert float(penetration_loss(grid, jnp.full((1, 4, 3), 5.0))) == 0.0
+
+    cfg = JointFitConfig(iter_obj=2, iter_sil=1, joint_max_iter=4,
+                         sil_size=32, sil_sigma=1 / 16.0, collision=True)
+    opt = make_object_optimizer(sphere_query_fn, project_px, cfg)
+    pts = verts_t[None].repeat(B, 0)
+    roi = np.tile(np.array([[700.0, 500.0, 700.0]], np.float32), (B, 1))
+    ref = soft_silhouette(
+        jnp.asarray(2.0 * (np.asarray(project_px(points=jnp.asarray(
+            verts_t + OBJ_CENTER_GT)[None]))[0] - roi[0, :2])
+            / roi[0, 2] - 1.0),
+        jnp.asarray(faces_t), cfg.sil_size, cfg.sil_sigma)
+    sil = SilRefs(image_ref=jnp.broadcast_to(ref, (B,) + ref.shape),
+                  keep_mask=jnp.ones((B, cfg.sil_size, cfg.sil_size)),
+                  roi_xyb=jnp.asarray(roi))
+    obj_t = jnp.asarray(np.tile(OBJ_CENTER_GT, (B, 1)))
+    # human verts placed INSIDE the object sphere -> the collision term
+    # must fire and change the optimization
+    smpl_verts = jnp.asarray(
+        OBJ_CENTER_GT + 0.3 * OBJ_RADIUS * _sphere_mesh(r=1.0)[0][None]
+        .repeat(B, 0))
+    args = (jnp.broadcast_to(jnp.eye(3), (B, 3, 3)), obj_t, jnp.ones(B),
+            jnp.asarray(pts), smpl_verts,
+            np.full(smpl_verts.shape[1], 11, np.int32), jnp.ones(B), sil,
+            jnp.asarray(pts), jnp.asarray(faces_t))
+    _, t_with, loss_with = opt(*args, sdf_grid=grid)
+    _, t_wo, loss_wo = opt(*args)  # cfg.collision=True but no grid -> off
+    assert np.isfinite(np.asarray(loss_with)).all()
+    # the live term adds positive loss and changes the final translation
+    assert float(np.asarray(loss_with)[-1]) != float(np.asarray(loss_wo)[-1])
+    assert not np.allclose(np.asarray(t_with), np.asarray(t_wo), atol=1e-6)
+
+
 def test_smpl_optimizer_runs_and_improves(rng):
     model = S.random_smpl_model(0, num_joints=52, num_verts=96)
     reg = rng.rand(25, 96).astype(np.float32)

@@ -375,6 +375,15 @@ def build_parser():
     tr.add_argument("--infiller-ckpt", help="cmf-k4-lrot checkpoint")
     tr.add_argument("--smoothnet-smpl-ckpt")
     tr.add_argument("--smoothnet-objrot-ckpt")
+    tr.add_argument("--collision", action="store_true",
+                    help="enable the human-object interpenetration term in "
+                         "the stage-6 joint phase (SDF-grid penalty, "
+                         "ops/sdf_grid.py — the BVH collision loss of "
+                         "recon_fit_base.py:736-765 that the release hosts "
+                         "ran with, recon_fit_trivis_full.py:261-264); "
+                         "builds the template SDF grid once per sequence")
+    tr.add_argument("--sdf-res", type=int, default=64,
+                    help="template SDF grid resolution for --collision")
     tr.add_argument("--robust-centers", action="store_true",
                     help="median (instead of reference mean) aggregation "
                          "of neural object centers/pca over surface points "

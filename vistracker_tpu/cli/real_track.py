@@ -167,10 +167,25 @@ def run_real_track(args):
     # parity default: query ALL SMPL verts in the df/part losses like the
     # reference (recon_fit_behave.py:467-513); subsampling is an opt-in
     # speed/accuracy trade via --smpl-query-points
+    collision = bool(getattr(args, "collision", False))
     jcfg = JointFitConfig(
         early_stop=True,
+        collision=collision,
         smpl_query_points=getattr(args, "smpl_query_points", 0) or 0,
         sil_backend=getattr(args, "sil_backend", "auto"))
+    sdf_grid = None
+    if collision:
+        # template SDF grid built ONCE per sequence (host side) — the
+        # stage-6 joint phase then penalizes SMPL verts whose template-frame
+        # SDF is negative (replaces the reference's CUDA BVH collision term,
+        # recon_fit_base.py:92-100,736-765)
+        from ..ops.sdf_grid import SDFGrid
+        from ..utils.mesh import signed_distance_grid
+        res = int(getattr(args, "sdf_res", 64) or 64)
+        vals, bmin, bmax = signed_distance_grid(temp_v, temp_f, res)
+        sdf_grid = SDFGrid(jnp.asarray(vals), jnp.asarray(bmin),
+                           jnp.asarray(bmax))
+        print(f"[vistracker] collision term ON (template SDF grid {res}^3)")
     gen_cfg = GeneratorConfig(
         center_agg="median" if getattr(args, "robust_centers", False)
         else "mean")
@@ -505,7 +520,8 @@ def run_real_track(args):
         r0_d, t0_d, s_d, opts_d, vf_d, occ_d, sil_d, sv_d = batched
         r_fin, t_fin, _, it_o = opt_obj(r0_d, t0_d, s_d, opts_d, vf_d,
                                         part_labels, occ_d, sil_d, sv_d,
-                                        jnp.asarray(sil_faces), ctx)
+                                        jnp.asarray(sil_faces), ctx,
+                                        sdf_grid=sdf_grid)
         iters_log["joint"].append(int(it_o["joint"]))
         tag = ("early-stopped at"
                if iters_log["joint"][-1] < it_o["joint_max"] else "ran full")
