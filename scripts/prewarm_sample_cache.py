@@ -35,6 +35,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 for _k in [k for k in os.environ
            if k.startswith(("PALLAS_AXON", "AXON_", "TPU_", "PJRT_"))]:
     os.environ.pop(_k)
+# The sitecustomize imports jax BEFORE this script's first line, so the env
+# edits above don't reach the already-loaded config — force it live too.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 

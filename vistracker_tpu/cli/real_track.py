@@ -342,7 +342,9 @@ def run_real_track(args):
               f" ({B} frames)")
         kpts, mocap_poses, bbox_centers = [], [], []
         for idx in chunk:
-            kpts.append(reader.get_body_kpts(idx, kid))
+            # tol 0.1: the fitter's own threshold (fit_SMPLH_kpts.py
+            # load_kpts default), NOT the reader's generic 0.5
+            kpts.append(reader.get_body_kpts(idx, kid, tol=0.1))
             p, _ = reader.get_mocap_params(idx, kid)
             mocap_poses.append(p)
             pm = reader.get_mask(idx, kid, "person")

@@ -6,17 +6,26 @@ Parity targets: interp/test_infill_autoreg.py + test_cinfill_autoreg.py:
   * occlusion mask = predicted visibility < occ_thres (0.5); the first
     180-frame clip needs >= 30 visible frames under init_thres, else the
     sequence passes through unmodified
-  * clip 0 predicts rot6d for all 180 frames; subsequent clips slide by
-    window=30, feed the previous predictions as the first-30-frame context
-    (mask forced visible there), and keep pred[30:]
+  * clip 0 predicts rot6d for all min(T, 180) frames; subsequent clips
+    slide by window=30, feed the previous predictions as the first-30-frame
+    context (mask forced visible there), and keep pred[30:]
+  * the reference's loop `range(0, L-clip+1+window, window)` always ends
+    with exactly ONE TRUNCATED clip (length L-start in [150, 179]) that
+    re-predicts the last L-start-30 frames — truncation is NOT equivalent
+    to padding + key-padding-mask because PositionEmbeddingSine_1D
+    normalizes positions by the raw sequence length (posi_embed.py:46-48),
+    so the truncated forward sees different positional codes. Measured on
+    the cross-implementation harness: emulating it with a padded clip left
+    a ~2-5 degree divergence on the final 150 frames.
   * output rotations REPLACE the input everywhere (not only occluded
     frames); translations are copied from the input
 
 TPU-first: the sequential clip dependency is real, so the autoregression is
-a lax.scan over clip starts with a carried output buffer — ~ (L-180)/30 + 2
-steps of one batched transformer forward each, all inside one jit. The
-sequence is padded to a static clip grid; padded frames are masked occluded
-and discarded.
+a lax.scan over the FULL clip starts (start <= T-180) with a carried output
+buffer — one batched transformer forward per step, all inside one jit —
+followed by one statically-shaped program for the reference's truncated
+final clip (and a truncated seed clip when T < 180). At most three compiled
+shapes per sequence length.
 """
 from __future__ import annotations
 
@@ -57,28 +66,36 @@ def make_infiller(model, cfg: InfillerConfig = InfillerConfig()):
     conditional = isinstance(model, ConditionalMInfiller)
 
     def forward(params, smpl_clip, obj_clip, mask_clip):
-        # object inputs zeroed where occluded (model_forward)
+        # object inputs zeroed where occluded (model_forward); clip length
+        # is whatever the caller sliced — the positional embedding
+        # normalizes by it, exactly like the reference's truncated clips
+        L = smpl_clip.shape[0]
         obj_in = obj_clip * (1.0 - mask_clip[:, None].astype(jnp.float32))
         if conditional:
             pred = model.apply(params, smpl_clip[None],
-                               jnp.zeros((1, clip), bool),
+                               jnp.zeros((1, L), bool),
                                obj_in[None], mask_clip[None])
         else:
             src = jnp.concatenate([smpl_clip, obj_in], -1)
             pred = model.apply(params, src[None], mask_clip[None])
-        return pred[0]  # (clip, 6)
+        return pred[0]  # (L, 6)
 
     @jax.jit
-    def infill(params, smpl_stream, obj_stream, occ_mask):
+    def infill(params, smpl_stream, obj_stream, seed_mask, occ_mask):
+        """Seed clip + all FULL autoregressive clips (start <= T-clip);
+        the reference's truncated final clip runs separately (infill_tail).
+        T == smpl_stream.shape[0] must be >= clip here. seed_mask is the
+        init_thres mask (the reference's first clip uses the laxer seed
+        threshold for the forward too, test_infill_autoreg.py:100-112)."""
         T = smpl_stream.shape[0]
-        # autoregressive clips start at 0, win, 2*win, ... (the reference's
+        # full clips start at 0, win, 2*win, ..., <= T-clip (the reference's
         # loop also re-predicts the first clip conditioned on the seeded
         # 30-frame context, test_infill_autoreg.py:117-120)
         n_steps = (T - clip) // win + 1
 
         # seed pass over the first clip
         pred0 = forward(params, smpl_stream[:clip], obj_stream[:clip],
-                        occ_mask[:clip])
+                        seed_mask[:clip])
         out0 = jnp.zeros((T, 6)).at[:clip].set(pred0)
 
         def step(carry, idx):
@@ -98,10 +115,28 @@ def make_infiller(model, cfg: InfillerConfig = InfillerConfig()):
         out, _ = jax.lax.scan(step, out0, jnp.arange(n_steps))
         return out
 
+    @functools.partial(jax.jit, static_argnames=("start",))
+    def infill_tail(params, out, smpl_stream, obj_stream, occ_mask, start):
+        """One truncated clip [start:T] — the reference loop's final step
+        (and, for 150 <= T < 180, its only step). Static tail length."""
+        sc = smpl_stream[start:]
+        oc = obj_stream[start:]
+        mc = occ_mask[start:]
+        oc = oc.at[:win].set(out[start:start + win])
+        mc = mc.at[:win].set(False)
+        pred = forward(params, sc, oc, mc)
+        return out.at[start + win:].set(pred[win:])
+
+    seed_only = jax.jit(forward)
+
     def run(params, poses, trans, obj_rot_real, occ_ratios,
             occ_thres: float = 0.5, init_thres: float = 0.5):
-        """Host wrapper: pads to the static clip grid, applies the
-        reliable-seed gate, converts back to rotation matrices.
+        """Host wrapper: reproduces the reference clip schedule exactly
+        (test_infill_autoreg.py:86-165 with `range(0, L-clip+1+win, win)`):
+        a seed clip of length min(T, clip), full clips at starts <= T-clip,
+        and ONE truncated final clip at start 30*floor((T-150)/30) whenever
+        T >= clip-win. Applies the reliable-seed gate, converts back to
+        rotation matrices.
 
         Returns (T, 3, 3) REAL rotations, or None if passthrough
         (unreliable seeds, test_infill_autoreg.py:99-106).
@@ -109,25 +144,25 @@ def make_infiller(model, cfg: InfillerConfig = InfillerConfig()):
         T = len(poses)
         smpl_stream, obj_stream = prepare_streams(poses, trans, obj_rot_real)
         occ = np.asarray(occ_ratios).reshape(-1)
-        first_mask = occ[:clip] < init_thres
-        if np.sum(~first_mask) < win:
+        seed_mask = occ < init_thres
+        if np.sum(~seed_mask[:clip]) < win:
             return None  # passthrough
         mask = occ < occ_thres
 
-        # pad to clip + k*win so every scan slice is in range
-        if T <= clip:
-            pad = clip - T
+        ss = jnp.asarray(smpl_stream)
+        ob = jnp.asarray(obj_stream)
+        ms = jnp.asarray(mask)
+        mi = jnp.asarray(seed_mask)
+        if T >= clip:
+            out = infill(params, ss, ob, mi, ms)
         else:
-            k = int(np.ceil((T - clip) / win))
-            pad = clip + k * win - T
-        if pad:
-            smpl_stream = np.concatenate(
-                [smpl_stream, np.repeat(smpl_stream[-1:], pad, 0)], 0)
-            obj_stream = np.concatenate(
-                [obj_stream, np.repeat(obj_stream[-1:], pad, 0)], 0)
-            mask = np.concatenate([mask, np.ones(pad, bool)])
-        rot6d_out = infill(params, jnp.asarray(smpl_stream),
-                           jnp.asarray(obj_stream), jnp.asarray(mask))
+            out = seed_only(params, ss, ob, mi)
+        if T >= clip - win:
+            # the reference loop's unique truncated step: the single
+            # multiple of `win` in (T-clip, T-clip+win]
+            start_t = win * ((T - (clip - win)) // win)
+            out = infill_tail(params, out, ss, ob, ms, start_t)
+        rot6d_out = out
         rots = np.asarray(rot6d_to_rotmat(rot6d_out[:T]))
         assert np.isfinite(rots).all(), "nan in infilled rotations"
         return rots
