@@ -140,6 +140,37 @@ def bench_sifnet_and_stage6(jnp, jax, floor_s, do_stage4=True,
         dt4 = time.perf_counter() - t0 - floor_s
         out["stage4_encode_generate_ms_per_frame"] = dt4 / Bg * 1000.0
 
+        # component split (round-3: makes the stage-4 lever visible —
+        # is the 3-round masked harvest or the encoder the cost center?)
+        _fetch(jax.tree.leaves(encode_packed(params, images))[0])
+        t0 = time.perf_counter()
+        cache_e = encode_packed(params, images)
+        _fetch(jax.tree.leaves(cache_e)[0])
+        out["stage4_encode_ms_per_frame"] = (
+            (time.perf_counter() - t0 - floor_s) / Bg * 1000.0)
+        _fetch(gen(params, cache_e, cc, bc,
+                   jax.random.PRNGKey(2))["object"]["centers"])
+        t0 = time.perf_counter()
+        _fetch(gen(params, cache_e, cc, bc,
+                   jax.random.PRNGKey(3))["object"]["centers"])
+        out["stage4_generate_ms_per_frame"] = (
+            (time.perf_counter() - t0 - floor_s) / Bg * 1000.0)
+
+        # stage-3 analog: triplane mask render of one SMPL mesh (the other
+        # per-frame input producer feeding the encoder)
+        from vistracker_tpu.ops.rasterizer import render_triplane_masks
+        tri_v = jnp.asarray((rng.randn(6890, 3) * 0.3
+                             + np.array([0, 0.3, 2.4])).astype(np.float32))
+        tri_f = jnp.asarray(rng.randint(0, 6890, (13776, 3)).astype(np.int32))
+        tri_bc = jnp.asarray([0.0, 0.3, 2.4])
+        tri_jit = jax.jit(lambda v: render_triplane_masks(v, tri_f, tri_bc,
+                                                          H))
+        _fetch(tri_jit(tri_v))
+        t0 = time.perf_counter()
+        _fetch(tri_jit(tri_v))
+        out["stage3_triplane_render_ms_per_frame"] = (
+            time.perf_counter() - t0 - floor_s) * 1000.0
+
         # ---- query path: 8 x 20k field eval from the packed cache ----
         ptsq = jnp.asarray((rng.randn(Bg, 20000, 3) * 0.4
                             + np.array([0, 0, 2.2])).astype(np.float32))

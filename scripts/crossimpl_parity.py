@@ -20,10 +20,9 @@ weights, then reports final-output deltas per stage:
   infiller  stage 5b: interp/test_cinfill_autoreg.py CondMotionInfillAutoreg
             .test (the full autoregressive loop incl. packed-file I/O) vs
             fit/infill.py:make_infiller, same ConditionalMInfiller weights.
-            T is chosen on the reference's 180+30k clip grid where both
-            schedules provably coincide; the off-grid tail deviation (the
-            reference runs a TRUNCATED final clip, we pad+mask — documented
-            deviation) is measured separately and reported, not asserted.
+            fit/infill.py reproduces the reference clip schedule EXACTLY
+            (including its truncated final clip); measured both on the
+            180+30k grid and off it (infiller_offgrid).
 
 Writes results/crossimpl_parity.json.  CPU-only by construction (never
 contends with a TPU job).  Usage:
@@ -102,7 +101,7 @@ def ensure_fixture(scratch, frames, raster=384):
 # stage 1-2: SMPL-T keypoint fit
 # ---------------------------------------------------------------------------
 
-def run_ref_smplt(fx, scratch):
+def run_ref_smplt(fx, scratch, max_iters=100, global_iters=8, end=None):
     """Reference SMPLHFitter30fps.fit_one_batch on the fixture sequence.
 
     Returns dict(pose, betas, trans, verts, losses, iters_used,
@@ -124,6 +123,12 @@ def run_ref_smplt(fx, scratch):
             def __init__(self, *a, **k):
                 super().__init__(*a, **k)
                 self.loss_trace = []
+
+            def get_max_iters(self):
+                return max_iters
+
+            def get_globalopt_iters(self):
+                return global_iters
 
             def sum_dict(self, loss_dict, weight_dict, it):
                 # instance override shadows the base staticmethod; called
@@ -148,16 +153,17 @@ def run_ref_smplt(fx, scratch):
         fitter = Capture(device="cpu", debug=False, init_type="mocap",
                          args=Namespace(icap=False))
         t0 = time.time()
-        fitter.fit_one_batch(fx["seq_dir"], 1, 0, None, redo=True)
+        fitter.fit_one_batch(fx["seq_dir"], 1, 0, end, redo=True)
         cap["seconds"] = time.time() - t0
         cap["losses"] = fitter.loss_trace
     steps = len(cap["losses"])
     cap["iters_used"] = steps // 10
-    cap["early_stopped"] = steps < 100 * 10
+    cap["early_stopped"] = steps < max_iters * 10
     return cap
 
 
-def run_our_smplt(fx):
+def run_our_smplt(fx, max_iters=100, global_iters=8, end=None,
+                  total_steps=0):
     """Our fit_smplt with real_track stage-1 initialization (identical
     inputs: same mocap jsons, same mask bboxes, same kpt files)."""
     import jax.numpy as jnp
@@ -177,7 +183,7 @@ def run_our_smplt(fx):
     hand_prior = load_hand_prior(assets)
     mean_hands = mean_hand_pose(assets)
     reader = FrameDataReader(fx["seq_dir"])
-    T = len(reader)
+    T = reader.cvt_end(end)
     kpts, mocap_poses, bbox_centers = [], [], []
     for idx in range(T):
         kpts.append(reader.get_body_kpts(idx, 1, tol=0.1))
@@ -187,7 +193,8 @@ def run_our_smplt(fx):
         ys, xs = np.nonzero(pm)
         bbox_centers.append([(xs.max() + xs.min()) // 2,
                              (ys.max() + ys.min()) // 2])
-    cfg = SMPLTFitConfig()
+    cfg = SMPLTFitConfig(max_iters=max_iters, global_iters=global_iters,
+                         total_steps_cap=total_steps)
     betas0 = np.zeros((T, 10), np.float32)
     betas0[:, 0] = 2.2
     init = smplh_params(np.stack(mocap_poses), betas0,
@@ -208,13 +215,24 @@ def run_our_smplt(fx):
                 seconds=time.time() - t0, model=model)
 
 
-def stage_smplt(fx, scratch):
+def stage_smplt(fx, scratch, max_iters=100, global_iters=8, end=None,
+                match_ref_budget=False):
     log("stage smplt: running the REFERENCE fitter (torch CPU)...")
-    ref = run_ref_smplt(fx, scratch)
-    log(f"  reference done in {ref['seconds']:.0f}s, "
-        f"iters {ref['iters_used']}/100, early_stop={ref['early_stopped']}")
+    ref = run_ref_smplt(fx, scratch, max_iters, global_iters, end)
+    log(f"  reference done in {ref['seconds']:.0f}s, iters "
+        f"{ref['iters_used']}/{max_iters}, early_stop={ref['early_stopped']}")
+    total_steps = 0
+    if match_ref_budget and ref["early_stopped"]:
+        # the reference's early stop fired (its loss-scaled gate,
+        # fit_SMPLH_kpts.py:163, trips easily at small budgets where the
+        # loss is still large when the 0.3*max_iter gate opens): compare
+        # landing points at the EXACT same step count — its break need
+        # not fall on an iteration boundary.
+        total_steps = len(ref["losses"])
+        log(f"  matching our budget to the reference's stop: "
+            f"{total_steps} steps")
     log("stage smplt: running OUR fitter (jax CPU)...")
-    ours = run_our_smplt(fx)
+    ours = run_our_smplt(fx, max_iters, global_iters, end, total_steps)
     log(f"  ours done in {ours['seconds']:.0f}s")
 
     import jax.numpy as jnp
@@ -254,7 +272,8 @@ def stage_smplt(fx, scratch):
     # fit_SMPLH_kpts.py:163: |prev-loss|/prev < prev*1e-3 after 30% iters)
     tr = np.asarray(ref["losses"])
     rel = np.abs(np.diff(tr)) / np.maximum(tr[:-1], 1e-12)
-    fire = (rel < tr[:-1] * 1e-3) & (np.arange(1, len(tr)) // 10 > 30)
+    fire = (rel < tr[:-1] * 1e-3) & (np.arange(1, len(tr)) // 10
+                                     > 0.3 * max_iters)
     res["ref_early_stop_condition_first_step"] = (
         int(np.argmax(fire)) if fire.any() else -1)
     return res
@@ -443,6 +462,11 @@ def main():
     ap.add_argument("--stage", default="all",
                     choices=("all", "smplt", "smoothnet", "infiller"))
     ap.add_argument("--frames", type=int, default=24)
+    ap.add_argument("--fixture-meta", default=None,
+                    help="reuse an existing fixture (path to its meta npz, "
+                         "e.g. fixture_run_rel/fixture_meta.npz) instead of "
+                         "rendering one on CPU; --frames then limits how "
+                         "many of its frames the smplt stage fits")
     ap.add_argument("--infill-frames", type=int, default=300)
     ap.add_argument("--scratch", default="crossimpl_scratch")
     ap.add_argument("--results", default="results/crossimpl_parity.json")
@@ -459,8 +483,16 @@ def main():
 
     fx = None
     if args.stage in ("all", "smplt"):
-        fx = ensure_fixture(scratch, args.frames)
-        report["smplt"] = stage_smplt(fx, scratch)
+        if args.fixture_meta:
+            m = np.load(args.fixture_meta)
+            fx = {k: m[k] for k in m.files}
+            for k in ("seq_dir", "gt_pack", "model_pkl", "objects_root"):
+                # reference_session chdirs away: paths must be absolute
+                fx[k] = osp.abspath(str(fx[k]))
+            fx["seq_name"] = str(fx["seq_name"])
+        else:
+            fx = ensure_fixture(scratch, args.frames)
+        report["smplt"] = stage_smplt(fx, scratch, end=args.frames)
         log(f"smplt: {json.dumps(report['smplt'], indent=1)}")
     if args.stage in ("all", "smoothnet"):
         report["smoothnet"] = stage_smoothnet(fx, scratch)

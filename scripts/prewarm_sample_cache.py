@@ -64,44 +64,58 @@ def main():
     from run_fixture_eval import build_sample_set, sample_cache_dir
     import jax.numpy as jnp
 
-    m = np.load(osp.join(args.out, "fixture_meta.npz"))
-    fx = {k: m[k] for k in m.files}
-    seq_dir = str(fx["seq_dir"])
-    assets = osp.join(osp.dirname(seq_dir), "assets")
-    model = load_smpl_pkl(str(fx["model_pkl"]))
-    landmarks = load_landmarks(assets)
-    part_labels = np.asarray(part_labels_array(
-        load_part_labels(assets), num_verts=model.v_template.shape[0]))
-
-    verts, _, _, _ = lbs_forward(model, jnp.asarray(fx["poses"]),
-                                 jnp.asarray(fx["betas"]),
-                                 jnp.asarray(fx["trans"]))
-    verts = np.asarray(verts)
-    bc = np.asarray(landmarks.smpl_center(jnp.asarray(verts)))
-    temp_v, temp_f = load_ply(osp.join(str(fx["objects_root"]), "boxmedium",
-                                       "boxmedium.ply"))
-    temp_v = temp_v - temp_v.mean(0)
-    reader = FrameDataReader(seq_dir)
-    T = len(reader)
-    smpl_faces = np.asarray(model.faces)
+    # all training sequences, concatenated in run_fixture_eval's train-sif
+    # order (fixture_meta.npz, then fixture_meta_s1.npz, ...) so the global
+    # frame indices — and therefore the cache keys/seeds — match exactly
+    metas = [osp.join(args.out, "fixture_meta.npz")]
+    k = 1
+    while osp.isfile(osp.join(args.out, f"fixture_meta_s{k}.npz")):
+        metas.append(osp.join(args.out, f"fixture_meta_s{k}.npz"))
+        k += 1
+    frames = []
+    part_labels = None
     # images are NOT cached in the slim npz (train_sifnet re-attaches them
     # from memory), so a 1x1 dummy satisfies sifnet_example's schema
     dummy_img = np.zeros((1, 1, 8), np.float32)
+    for meta in metas:
+        m = np.load(meta)
+        fx = {k_: m[k_] for k_ in m.files}
+        seq_dir = str(fx["seq_dir"])
+        assets = osp.join(osp.dirname(seq_dir), "assets")
+        model = load_smpl_pkl(str(fx["model_pkl"]))
+        if part_labels is None:
+            landmarks = load_landmarks(assets)
+            part_labels = np.asarray(part_labels_array(
+                load_part_labels(assets),
+                num_verts=model.v_template.shape[0]))
+        else:
+            landmarks = load_landmarks(assets)
 
-    frames = []
-    for i in range(T):
-        pm = reader.get_mask(i, 1, "person")
-        om = reader.get_mask(i, 1, "obj")
-        cc = crop_center_from_masks(pm, om)
-        ov = temp_v @ fx["rot_gt"][i].T + fx["obj_trans_gt"][i]
-        frames.append(dict(
-            image=dummy_img, crop_center=np.asarray(cc),
-            body_center=bc[i].astype(np.float32),
-            smpl_verts=verts[i].astype(np.float32),
-            smpl_faces=smpl_faces,
-            obj_verts=ov.astype(np.float32), obj_faces=temp_f,
-            visibility=float(fx["occ_ratios"][i])))
-    print(f"[prewarm] {T} frame dicts ready", flush=True)
+        verts, _, _, _ = lbs_forward(model, jnp.asarray(fx["poses"]),
+                                     jnp.asarray(fx["betas"]),
+                                     jnp.asarray(fx["trans"]))
+        verts = np.asarray(verts)
+        bc = np.asarray(landmarks.smpl_center(jnp.asarray(verts)))
+        temp_v, temp_f = load_ply(osp.join(str(fx["objects_root"]),
+                                           "boxmedium", "boxmedium.ply"))
+        temp_v = temp_v - temp_v.mean(0)
+        reader = FrameDataReader(seq_dir)
+        smpl_faces = np.asarray(model.faces)
+        for i in range(len(reader)):
+            pm = reader.get_mask(i, 1, "person")
+            om = reader.get_mask(i, 1, "obj")
+            cc = crop_center_from_masks(pm, om)
+            ov = temp_v @ fx["rot_gt"][i].T + fx["obj_trans_gt"][i]
+            frames.append(dict(
+                image=dummy_img, crop_center=np.asarray(cc),
+                body_center=bc[i].astype(np.float32),
+                smpl_verts=verts[i].astype(np.float32),
+                smpl_faces=smpl_faces,
+                obj_verts=ov.astype(np.float32), obj_faces=temp_f,
+                visibility=float(fx["occ_ratios"][i])))
+    T = len(frames)
+    print(f"[prewarm] {T} frame dicts ready ({len(metas)} sequence(s))",
+          flush=True)
 
     # conventions imported from run_fixture_eval so they cannot drift
     cache_dir = sample_cache_dir(args.out, args.sif_samples,

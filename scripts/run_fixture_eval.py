@@ -9,11 +9,17 @@ optimizers, full-sequence temporal stages), evaluates against the GT pack
 with the windowed evaluator (W=1 CHORE protocol and whole-sequence align),
 and writes the metrics JSON.
 
-This is pipeline-accuracy evidence, not generalization evidence: the nets
-are trained on the same sequence they track (the fixture replaces the
-licensed BEHAVE data + released checkpoints, which cannot ship here).
+With --train-seqs 1 (default) this is pipeline-accuracy evidence, not
+generalization evidence: the nets are trained on the same sequence they
+track (the fixture replaces the licensed BEHAVE data + released
+checkpoints, which cannot ship here).  With --train-seqs N>1 the nets
+train on a POOL of N motion-varied sequences (motion seeds 0, 101, ...)
+and the --heldout phases then measure generalization from a multi-sequence
+corpus — the fixture analog of the reference's multi-sequence split
+training (data_paths.py:53-64).
 
 Usage: python scripts/run_fixture_eval.py --out fixture_run [--frames 90]
+       [--train-seqs 4] [--net-preset release] [--heldout]
 """
 import argparse
 import json
@@ -216,7 +222,7 @@ def train_sifnet(frames, part_labels, out_dir, crop_size, net_size,
     return out_dir
 
 
-def train_smoothnets(fx, out_smpl, out_rot, epochs=40, noise=0.03):
+def train_smoothnets(fxs, out_smpl, out_rot, epochs=40, noise=0.03):
     import jax
     import jax.numpy as jnp
     from vistracker_tpu.core.rotations import axis_angle_to_rot6d, \
@@ -230,23 +236,31 @@ def train_smoothnets(fx, out_smpl, out_rot, epochs=40, noise=0.03):
 
     W = 64
     rng = np.random.RandomState(0)
-    T = len(fx["poses"])
-    p72 = smplh_to_smpl_pose(fx["poses"])
-    rot6d = np.asarray(axis_angle_to_rot6d(
-        jnp.asarray(p72.reshape(-1, 3)))).reshape(T, 144)
-    feats = np.concatenate([rot6d, fx["betas"], fx["trans"]],
-                           1).astype(np.float32)
-    rot6d_obj = np.asarray(rotmat_to_rot6d(
-        jnp.asarray(fx["rot_gt"]))).astype(np.float32)
+    feats_list, rot6d_obj_list = [], []
+    for fx in fxs:  # windows never cross sequence boundaries
+        T = len(fx["poses"])
+        p72 = smplh_to_smpl_pose(fx["poses"])
+        rot6d = np.asarray(axis_angle_to_rot6d(
+            jnp.asarray(p72.reshape(-1, 3)))).reshape(T, 144)
+        feats_list.append(np.concatenate(
+            [rot6d, fx["betas"], fx["trans"]], 1).astype(np.float32))
+        rot6d_obj_list.append(np.asarray(rotmat_to_rot6d(
+            jnp.asarray(fx["rot_gt"]))).astype(np.float32))
 
-    for gt_seq, model, out_dir, nz in (
-            (feats, SmoothNetSMPL(window_size=W, output_size=W), out_smpl,
-             noise),
-            (rot6d_obj, SmoothNet(window_size=W, output_size=W), out_rot,
-             noise)):
-        padded, _ = pad_to_window(gt_seq, W)
-        gt_w = np.asarray(seq_to_windows(jnp.asarray(padded), W, 1))
-        gt_w = gt_w.transpose(0, 2, 1)  # (N, C, W)
+    def windows(seqs):
+        ws = []
+        for s in seqs:
+            padded, _ = pad_to_window(s, W)
+            w = np.asarray(seq_to_windows(jnp.asarray(padded), W, 1))
+            ws.append(w.transpose(0, 2, 1))  # (N, C, W)
+        return np.concatenate(ws, 0)
+
+    for gt_seqs, model, out_dir, nz in (
+            (feats_list, SmoothNetSMPL(window_size=W, output_size=W),
+             out_smpl, noise),
+            (rot6d_obj_list, SmoothNet(window_size=W, output_size=W),
+             out_rot, noise)):
+        gt_w = windows(gt_seqs)
         noisy = gt_w + rng.randn(*gt_w.shape).astype(np.float32) * nz
 
         def example(i, noisy=noisy, gt_w=gt_w):
@@ -266,7 +280,7 @@ def train_smoothnets(fx, out_smpl, out_rot, epochs=40, noise=0.03):
     return out_smpl, out_rot
 
 
-def train_infiller(fx, out_dir, epochs=60):
+def train_infiller(fxs, out_dir, epochs=60):
     import jax
     import jax.numpy as jnp
     from vistracker_tpu.data.datasets import PrefetchLoader, InfillerClips
@@ -276,11 +290,13 @@ def train_infiller(fx, out_dir, epochs=60):
                                                 InfillerConfig)
     # release config (clip 180, window 30) — the one real_track builds
     cfg = InfillerConfig()
-    reps = int(np.ceil((cfg.clip_len + 40) / len(fx["poses"])))
-    seqs = [dict(
-        poses=np.tile(fx["poses"], (reps, 1)),
-        trans=np.tile(fx["trans"], (reps, 1)),
-        obj_rot_real=np.tile(fx["rot_gt"], (reps, 1, 1)))]
+    seqs = []
+    for fx in fxs:
+        reps = int(np.ceil((cfg.clip_len + 40) / len(fx["poses"])))
+        seqs.append(dict(
+            poses=np.tile(fx["poses"], (reps, 1)),
+            trans=np.tile(fx["trans"], (reps, 1)),
+            obj_rot_real=np.tile(fx["rot_gt"], (reps, 1, 1))))
     clips = InfillerClips(seqs, clip_len=cfg.clip_len)
     model = ConditionalMInfiller(cfg)
     params = model.init(jax.random.PRNGKey(0),
@@ -300,37 +316,57 @@ def train_infiller(fx, out_dir, epochs=60):
     return out_dir
 
 
-def _load_fx(args, heldout=False):
-    """Load (or generate) the fixture and shared assets.
+def _load_fx(args, heldout=False, k=0):
+    """Load (or generate) the k-th training fixture (or the held-out one)
+    and the shared assets.
 
-    heldout=True generates/loads a SECOND sequence with different motion
+    heldout=True generates/loads a held-out sequence with different motion
     (same humanoid/assets/template — data/fixture.py motion_seed) used to
-    evaluate generalization of the nets trained on the default sequence.
+    evaluate generalization of the nets trained on the training pool.
+    Training sequences k=0..train_seqs-1 use motion seeds 0, 101, 102, ...
+    (all distinct from the held-out seed); their humanoid model, assets and
+    object template are byte-identical, only the motion differs.
     """
     from vistracker_tpu.data.fixture import generate_fixture_sequence
-    sub = "data_heldout" if heldout else "data"
+    if heldout:
+        sub, meta, seed = "data_heldout", "fixture2_meta.npz", \
+            args.heldout_motion_seed
+    else:
+        sub = "data" if k == 0 else f"data_s{k}"
+        meta = "fixture_meta.npz" if k == 0 else f"fixture_meta_s{k}.npz"
+        seed = 0 if k == 0 else 100 + k
     data_dir = osp.join(args.out, sub)
-    meta_path = osp.join(
-        args.out, "fixture2_meta.npz" if heldout else "fixture_meta.npz")
+    meta_path = osp.join(args.out, meta)
     real_assets = ("/root/reference/assets"
                    if osp.isdir("/root/reference/assets") else None)
     if osp.isfile(meta_path):
         m = np.load(meta_path)
-        fx = {k: m[k] for k in m.files}
+        fx = {k_: m[k_] for k_ in m.files}
         fx.update(seq_dir=str(fx["seq_dir"]), gt_pack=str(fx["gt_pack"]),
                   model_pkl=str(fx["model_pkl"]),
                   objects_root=str(fx["objects_root"]),
                   seq_name=str(fx["seq_name"]))
     else:
-        log(f"generating {'held-out ' if heldout else ''}fixture "
-            f"({args.frames} frames)...")
+        log(f"generating {'held-out ' if heldout else f'train-{k} '}fixture "
+            f"({args.frames} frames, motion_seed {seed})...")
         fx = generate_fixture_sequence(
             data_dir, T=args.frames, raster=args.raster,
-            real_assets=real_assets,
-            motion_seed=args.heldout_motion_seed if heldout else 0,
+            real_assets=real_assets, motion_seed=seed,
             object_shape=args.object_shape)
         np.savez(meta_path, **fx)
     return fx, osp.join(data_dir, "assets")
+
+
+def load_train_fixtures(args):
+    """All training fixtures (list of fx dicts) + the seq-0 assets dir."""
+    fxs = []
+    assets = None
+    for k in range(getattr(args, "train_seqs", 1)):
+        fx, a = _load_fx(args, k=k)
+        fxs.append(fx)
+        if k == 0:
+            assets = a
+    return fxs, assets
 
 
 def _done(path):
@@ -357,7 +393,12 @@ def run_phase(args):
                                                part_labels_array)
     phase = args.phase
     heldout = phase.startswith("heldout")
-    fx, assets = _load_fx(args, heldout=heldout)
+    if heldout:
+        fx, assets = _load_fx(args, heldout=True)
+        fxs = [fx]
+    else:
+        fxs, assets = load_train_fixtures(args)
+        fx = fxs[0]
     if phase in ("generate", "heldout-gen"):
         return  # _load_fx did the work
 
@@ -365,6 +406,9 @@ def run_phase(args):
     # sifnet checkpoint / recon / results paths carry the net preset so
     # differently-sized runs coexist under one --out
     psuf = "" if args.net_preset == "tiny" else f"_{args.net_preset}"
+    # recon/results dirs optionally carry an extra tag (e.g. the B-ladder's
+    # chunk-size variants) while the checkpoint dirs stay shared
+    rsuf = psuf + (f"_{args.recon_tag}" if args.recon_tag else "")
     if phase == "train-sif":
         out = osp.join(args.out, "sifnet" + psuf)
         if _done(out):
@@ -372,11 +416,14 @@ def run_phase(args):
         landmarks = load_landmarks(assets)
         part_labels = np.asarray(part_labels_array(
             load_part_labels(assets), num_verts=model.v_template.shape[0]))
-        log("building SIF-Net training frames...")
-        frames, _, _ = build_training_frames(fx, model, landmarks,
+        log(f"building SIF-Net training frames ({len(fxs)} sequence(s))...")
+        frames = []
+        for f in fxs:  # concatenated: sample-cache indices stay global
+            fr, _, _ = build_training_frames(f, model, landmarks,
                                              args.crop_size, args.net_size)
-        log(f"training SIF-Net (preset {args.net_preset}, overfit on the "
-            "sequence)...")
+            frames.extend(fr)
+        log(f"training SIF-Net (preset {args.net_preset}, "
+            f"{len(frames)} frames from {len(fxs)} sequence(s))...")
         train_sifnet(frames, part_labels, out, args.crop_size,
                      args.net_size, args.sif_epochs, args.sif_samples,
                      grid_ratio=args.grid_ratio, preset=args.net_preset)
@@ -387,7 +434,7 @@ def run_phase(args):
         if _done(out_s) and _done(out_r):
             return log("train-sn already done")
         log("training SmoothNets...")
-        train_smoothnets(fx, out_s, out_r)
+        train_smoothnets(fxs, out_s, out_r)
         _mark_done(out_s)
         return _mark_done(out_r)
     if phase == "train-inf":
@@ -395,7 +442,7 @@ def run_phase(args):
         if _done(out):
             return log("train-inf already done")
         log("training HVOP-Net...")
-        train_infiller(fx, out)
+        train_infiller(fxs, out)
         return _mark_done(out)
     if phase in ("track", "heldout-track"):
         log("tracking with the real pipeline"
@@ -431,7 +478,7 @@ def run_phase(args):
         from vistracker_tpu.eval.evaluator import format_errors
         from vistracker_tpu.utils.mesh import load_ply
         recon_pkl = osp.join(
-            args.out, ("recon_heldout" if heldout else "recon") + psuf,
+            args.out, ("recon_heldout" if heldout else "recon") + rsuf,
             "recon_fixture", f"{fx['seq_name']}_k1.pkl")
         temp_v, temp_f = load_ply(osp.join(fx["objects_root"], "boxmedium",
                                            "boxmedium.ply"))
@@ -448,7 +495,9 @@ def run_phase(args):
                     "nets self-trained on the same sequence — "
                     "pipeline accuracy evidence, not generalization")
         report = {"frames": int(args.frames),
-                  "net_preset": args.net_preset, "note": note}
+                  "net_preset": args.net_preset,
+                  "train_seqs": int(getattr(args, "train_seqs", 1)),
+                  "note": note}
         for wname, w in (("W1_chore_protocol", 1),
                          ("W300_video_protocol", 300)):
             errs = _eval_one(model, recon_pkl, fx["gt_pack"], temp_v,
@@ -478,6 +527,15 @@ def main():
     ap.add_argument("--net-size", type=int, default=256)
     ap.add_argument("--crop-size", type=int, default=1200)
     ap.add_argument("--chunk-size", type=int, default=30)
+    ap.add_argument("--recon-tag", default="",
+                    help="extra suffix for the recon/results paths (keeps "
+                         "checkpoints shared across e.g. chunk-size "
+                         "variants)")
+    ap.add_argument("--train-seqs", type=int, default=1,
+                    help="number of training sequences (motion seeds 0, "
+                         "101, 102, ...); nets train on the pool — the "
+                         "held-out eval then measures generalization "
+                         "from a multi-sequence corpus")
     ap.add_argument("--sif-epochs", type=int, default=60)
     ap.add_argument("--sif-samples", type=int, default=2500)
     ap.add_argument("--grid-ratio", type=float, default=0.15,
@@ -532,7 +590,8 @@ def main():
     fwd = []
     for k in ("out", "frames", "raster", "net_size", "crop_size",
               "chunk_size", "sif_epochs", "sif_samples", "grid_ratio",
-              "results", "heldout_motion_seed", "heldout_results",
+              "results", "heldout_motion_seed", "heldout_results", "train_seqs",
+              "recon_tag",
               "net_preset", "object_shape"):
         fwd += ["--" + k.replace("_", "-"), str(getattr(args, k))]
     if args.cpu:

@@ -384,6 +384,12 @@ def build_parser():
                          "builds the template SDF grid once per sequence")
     tr.add_argument("--sdf-res", type=int, default=64,
                     help="template SDF grid resolution for --collision")
+    tr.add_argument("--early-stop", action="store_true",
+                    help="enable the stage-6 relative-loss early-stop "
+                         "gates (default off: the reference's own gate "
+                         "never fires — measured via the cross-impl "
+                         "harness, results/crossimpl_parity.json — so "
+                         "fixed budgets ARE reference parity)")
     tr.add_argument("--robust-centers", action="store_true",
                     help="median (instead of reference mean) aggregation "
                          "of neural object centers/pca over surface points "

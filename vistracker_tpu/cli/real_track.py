@@ -168,8 +168,15 @@ def run_real_track(args):
     # reference (recon_fit_behave.py:467-513); subsampling is an opt-in
     # speed/accuracy trade via --smpl-query-points
     collision = bool(getattr(args, "collision", False))
+    # early stopping defaults OFF: measured on the cross-implementation
+    # harness (results/crossimpl_parity.json), the REFERENCE's own gate
+    # (fit_SMPLH_kpts.py:163, rel < prev*1e-3) never fires — its w/(1+it)
+    # decay keeps relative per-step changes ~1e-4 while the threshold
+    # shrinks with the loss — and ours measured the same (full budgets
+    # used on every fixture run). Running the fixed budget IS reference
+    # parity; --early-stop re-enables the gates.
     jcfg = JointFitConfig(
-        early_stop=True,
+        early_stop=bool(getattr(args, "early_stop", False)),
         collision=collision,
         smpl_query_points=getattr(args, "smpl_query_points", 0) or 0,
         sil_backend=getattr(args, "sil_backend", "auto"))
@@ -549,7 +556,11 @@ def run_real_track(args):
     # measured — this records what OUR early stop actually does per run)
     its = {f"iters_{k}_mean": round(float(np.mean(v)), 1)
            for k, v in iters_log.items() if v}
-    print(json.dumps({"packed": outfile, "frames": len(frames),
-                      "seconds": round(dt, 1),
-                      "fps": round(len(frames) / dt, 2), **its}))
+    summary = {"packed": outfile, "frames": len(frames),
+               "seconds": round(dt, 1),
+               "fps": round(len(frames) / dt, 2),
+               "chunk_size": args.chunk_size, **its}
+    print(json.dumps(summary))
+    with open(outfile.replace(".pkl", "_track.json"), "w") as f:
+        json.dump(summary, f, indent=2)  # persisted for perf tooling
     return outfile

@@ -301,6 +301,20 @@ def _make_phase_stepper(loss_fn, lrs: dict, steps_per_iter: int, decay_fn,
                 jnp.int32(max_iters), jnp.float32(min_iters), seg)
         return params, prev, it
 
+    @jax.jit
+    def one_step(p, s, env, k):
+        """Exactly one Adam step (the body of `step` above) as a LOOP-FREE
+        program: XLA's cost analysis counts while/scan bodies once, so
+        roofline accounting (scripts/roofline.py) lowers THIS and
+        multiplies by the step budget on the host."""
+        decay = decay_fn(k)
+        loss, grads = jax.value_and_grad(loss_fn)(p, decay, env)
+        grads = {k2: g * (1.0 if lrs[k2] > 0 else 0.0)
+                 for k2, g in grads.items()}
+        updates, s = opt.update(grads, s)
+        return optax.apply_updates(p, updates), s, loss
+
+    run.one_step, run.opt = one_step, opt
     return run
 
 
@@ -437,6 +451,19 @@ def make_smpl_optimizer(query_fn, project_fn, model: SMPLModel,
             return out + ({"smpl": it23, "smpl_max": n23},) if report_iters \
                 else out
 
+        def _cost_probe(smpl, body_kpts, ctx=None):
+            """Compile ONE Adam step of the dominant (pose+kpts) phase;
+            returns {phase: (compiled, args, steps_total)} for
+            scripts/roofline.py (cost_analysis + wall-time probing)."""
+            env = dict(aux=dict(pose_init=smpl.body_pose,
+                                body_kpts=body_kpts), ctx=ctx)
+            pdict = dataclasses.asdict(smpl)
+            state = run23.opt.init(pdict)
+            args = (pdict, state, env, jnp.int32(0))
+            return {"smpl": (run23.one_step.lower(*args).compile(), args,
+                             n23 * spi)}
+
+        optimize_smpl_segmented.cost_probe = _cost_probe
         return optimize_smpl_segmented
 
     @jax.jit
@@ -687,6 +714,34 @@ def make_object_optimizer(query_fn, project_px,
                            "joint_max": cfg.joint_max_iter},) \
                 if report_iters else out
 
+        def _cost_probe(obj_r, obj_t, obj_s, obj_points, smpl_verts,
+                        labels_h, occ_ratios, sil: SilRefs, sil_verts,
+                        sil_faces, ctx=None):
+            """One-Adam-step compiled programs for all three object phases
+            (scripts/roofline.py). Returns {phase: (compiled, args,
+            steps_total)}."""
+            params = {"obj_r": obj_r, "obj_t": obj_t}
+            env = dict(obj_points=obj_points, obj_s=obj_s, occ=occ_ratios,
+                       ctx=ctx)
+            env2 = dict(env, sil=sil, sil_verts=sil_verts,
+                        sil_faces=sil_faces, trans_init=params["obj_t"])
+            env3 = dict(env, smpl_verts=smpl_verts,
+                        labels_h=jnp.asarray(labels_h),
+                        labels_o=jnp.zeros(obj_points.shape[:2], jnp.int32),
+                        mask_h=jnp.ones(smpl_verts.shape[:2], bool),
+                        mask_o=jnp.ones(obj_points.shape[:2], bool))
+            out = {}
+            for name, run, e, iters in (
+                    ("object", run1, env, cfg.iter_obj),
+                    ("sil", run2, env2, cfg.iter_sil),
+                    ("joint", run3, env3, cfg.joint_max_iter)):
+                state = run.opt.init(params)
+                args = (params, state, e, jnp.int32(0))
+                out[name] = (run.one_step.lower(*args).compile(), args,
+                             iters * spi)
+            return out
+
+        optimize_object_segmented.cost_probe = _cost_probe
         return optimize_object_segmented
 
     @jax.jit

@@ -63,6 +63,10 @@ class SMPLTFitConfig:
     w_pose: float = 1e-5
     w_hand: float = 1e-5
     w_beta: float = 0.0  # 30fps fitter does not use the beta term
+    # exact TOTAL Adam-step cap (0 = disabled): lets the cross-impl
+    # harness stop at the precise step where the reference's early stop
+    # broke out of its loop (which need not be an iteration boundary)
+    total_steps_cap: int = 0
 
 
 @jax.tree_util.register_dataclass
@@ -201,13 +205,19 @@ def fit_smplt(model: SMPLModel, landmarks: BodyLandmarks,
     spi = cfg.steps_per_iter
     params = init
     losses = []
+    n1 = cfg.global_iters * spi
+    if cfg.total_steps_cap:
+        n1 = min(n1, cfg.total_steps_cap)
     if not skip_global_phase:
         params, l1 = _phase_scan(
-            loss_fn, params, cfg.lr_global, cfg.global_iters * spi, 0, spi,
+            loss_fn, params, cfg.lr_global, n1, 0, spi,
             dict(global_pose=True, body_pose=False, hand_pose=False,
                  top_betas=True, other_betas=False, trans=True))
         losses.append(l1)
     n2 = (cfg.max_iters - (0 if skip_global_phase else cfg.global_iters)) * spi
+    if cfg.total_steps_cap:
+        n2 = max(0, cfg.total_steps_cap
+                 - (0 if skip_global_phase else n1))
     offset = 0 if skip_global_phase else cfg.global_iters * spi
     # phase 2 optimizes everything EXCEPT hand pose (which stays at the GRAB
     # mean) — parity: fit_SMPLH_kpts.py:init_allpose_optimizer

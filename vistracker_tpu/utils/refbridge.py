@@ -267,7 +267,6 @@ def torch_cpu_patches():
     orig_t_cuda = torch.Tensor.cuda
     orig_m_cuda = tnn.Module.cuda
     orig_to = torch.Tensor.to
-    orig_device = torch.device
 
     def tolerant_to(self, *a, **k):
         try:
@@ -275,23 +274,20 @@ def torch_cpu_patches():
         except (RuntimeError, AssertionError):
             return self
 
-    def tolerant_device(*a, **k):
-        try:
-            return orig_device(*a, **k)
-        except RuntimeError:
-            return orig_device("cpu")
-
+    # NOTE: torch.device is deliberately NOT replaced — it is a TYPE used
+    # in `str | torch.device` annotations inside torch's lazily-imported
+    # _dynamo (optimizer construction triggers it); a function there makes
+    # the union operator blow up. The .cuda()/.to() patches cover every
+    # device move the reference actually performs.
     torch.Tensor.cuda = lambda self, *a, **k: self
     tnn.Module.cuda = lambda self, *a, **k: self
     torch.Tensor.to = tolerant_to
-    torch.device = tolerant_device
     try:
         yield
     finally:
         torch.Tensor.cuda = orig_t_cuda
         tnn.Module.cuda = orig_m_cuda
         torch.Tensor.to = orig_to
-        torch.device = orig_device
 
 
 # ---------------------------------------------------------------------------
@@ -350,14 +346,19 @@ def reference_session(scratch: str, **paths):
 # fixture model -> reference pkl layout
 # ---------------------------------------------------------------------------
 
-def write_ref_model_pkl(model_dict: dict, out_path: str):
+def write_ref_model_pkl(model_dict: dict, out_path: str, num_betas: int = 10):
     """Write the fixture SMPL-H dict in the layout ready_arguments expects.
 
     Differences from our loader's layout (core/smpl.py:load_smpl_pkl):
     J_regressor must be scipy-sparse (SMPL_Layer calls .toarray(),
     smpl_layer.py:77), 'J' (T-pose joints) must exist
-    (serialization.py:backwards_compatibility_replacements), and
-    'bs_type'/'bs_style' select the lrotmin posemap.
+    (serialization.py:backwards_compatibility_replacements),
+    'bs_type'/'bs_style' select the lrotmin posemap, and shapedirs is
+    truncated to `num_betas` components: the reference wrappers construct
+    SMPL_Layer with num_betas=300 via from_smpl (wrapper_pytorch.py:114,
+    205-226) while feeding 10-d betas, i.e. they assume a 10-component
+    pkl.  Both implementations only ever drive the first 10 components,
+    so the truncation is exactly equivalent.
     """
     import scipy.sparse as sp
 
@@ -365,6 +366,8 @@ def write_ref_model_pkl(model_dict: dict, out_path: str):
     jreg = np.asarray(d["J_regressor"], np.float64)
     d["J_regressor"] = sp.csc_matrix(jreg)
     d["J"] = jreg @ np.asarray(d["v_template"], np.float64)
+    d["shapedirs"] = np.asarray(d["shapedirs"])[:, :, :num_betas]
+    d["betas"] = np.zeros(num_betas)
     d.setdefault("bs_type", "lrotmin")
     d.setdefault("bs_style", "lbs")
     os.makedirs(osp.dirname(out_path) or ".", exist_ok=True)
