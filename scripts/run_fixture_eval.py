@@ -452,8 +452,11 @@ def run_phase(args):
         from vistracker_tpu.cli.real_track import run_real_track
         targs = build_parser().parse_args([
             "track", "--seq", fx["seq_dir"], "--out",
+            # rsuf (not psuf): --recon-tag variants (B-ladder chunk sizes,
+            # --collision) must land in their own recon dir or is_done
+            # resume on the untagged dir silently skips the re-track
             osp.join(args.out,
-                     ("recon_heldout" if heldout else "recon") + psuf),
+                     ("recon_heldout" if heldout else "recon") + rsuf),
             "--smpl-model", fx["model_pkl"], "--assets", assets,
             "--objects-root", fx["objects_root"],
             "--sifnet-ckpt", osp.join(args.out, "sifnet" + psuf),
@@ -469,7 +472,8 @@ def run_phase(args):
             # median center/pca aggregation: robust to the tiny net's
             # residual spurious-low-df pockets (see --grid-ratio note)
             "--robust-centers",
-            "--crop-size", str(args.crop_size), "--save-name", "fixture"])
+            "--crop-size", str(args.crop_size), "--save-name", "fixture"]
+            + (["--collision"] if args.collision else []))
         run_real_track(targs)  # is_done resume: skips if the pack exists
         return
     if phase in ("eval", "heldout-eval"):
@@ -563,6 +567,9 @@ def main():
                          "'lbox' (asymmetric corner-flanged box, pose "
                          "fully observable). Use a fresh --out per shape")
     ap.add_argument("--heldout-results", default=None)
+    ap.add_argument("--collision", action="store_true",
+                    help="enable the stage-6 SDF collision term in the "
+                         "track phases (pair with --recon-tag coll)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--phase", choices=PHASES + HELDOUT_PHASES, default=None)
     ap.add_argument("--single-process", action="store_true",
@@ -596,6 +603,8 @@ def main():
         fwd += ["--" + k.replace("_", "-"), str(getattr(args, k))]
     if args.cpu:
         fwd.append("--cpu")
+    if args.collision:
+        fwd.append("--collision")
     for ph in phases:
         log(f"=== phase {ph} (subprocess) ===")
         rc = subprocess.run(base + fwd + ["--phase", ph]).returncode
