@@ -106,25 +106,29 @@ def main():
     print(f"LBS val+grad:              {_time(lambda p: lbs_g(p)[0], pose, floor=floor):7.2f} ms")
 
     # ---- query ----
-    def qdf(points):
+    # cache/params are ARGUMENTS, not closure constants: capturing the
+    # ~2 GB packed cache bakes it into the executable (hour-long lowering
+    # on this host + a giant program transfer through the tunnel); the
+    # real steppers in fit/joint.py pass it as an arg too.
+    def qdf(cache, points):
         return model.apply(params, cache, points, cc, bc,
                            method=SIFNet.query_heads,
                            heads=("df",))["df"].sum()
 
     qdf_h = jax.jit(qdf)
-    qdf_g = jax.jit(jax.value_and_grad(qdf))
-    print(f"query df fwd 8x6890:       {_time(qdf_h, pts_h, floor=floor):7.2f} ms")
-    print(f"query df val+grad 8x6890:  {_time(lambda p: qdf_g(p)[0], pts_h, floor=floor):7.2f} ms")
-    print(f"query df fwd 8x3000:       {_time(qdf_h, pts_o, floor=floor):7.2f} ms")
-    print(f"query df val+grad 8x3000:  {_time(lambda p: qdf_g(p)[0], pts_o, floor=floor):7.2f} ms")
+    qdf_g = jax.jit(jax.value_and_grad(qdf, argnums=1))
+    print(f"query df fwd 8x6890:       {_time(qdf_h, cache, pts_h, floor=floor):7.2f} ms")
+    print(f"query df val+grad 8x6890:  {_time(lambda c, p: qdf_g(c, p)[0], cache, pts_h, floor=floor):7.2f} ms")
+    print(f"query df fwd 8x3000:       {_time(qdf_h, cache, pts_o, floor=floor):7.2f} ms")
+    print(f"query df val+grad 8x3000:  {_time(lambda c, p: qdf_g(c, p)[0], cache, pts_o, floor=floor):7.2f} ms")
 
-    def qdp(points):
+    def qdp(cache, points):
         out = model.apply(params, cache, points, cc, bc,
                           method=SIFNet.query_heads, heads=("df", "parts"))
         return out["df"].sum() + out["parts"].sum()
 
-    qdp_g = jax.jit(jax.value_and_grad(qdp))
-    print(f"query df+parts v+g 8x6890: {_time(lambda p: qdp_g(p)[0], pts_h, floor=floor):7.2f} ms")
+    qdp_g = jax.jit(jax.value_and_grad(qdp, argnums=1))
+    print(f"query df+parts v+g 8x6890: {_time(lambda c, p: qdp_g(c, p)[0], cache, pts_h, floor=floor):7.2f} ms")
 
     # ---- contact ----
     def contact(obj):
@@ -140,7 +144,7 @@ def main():
     print(f"contact v+g 6890<->3000:   {_time(lambda p: con_g(p)[0], pts_o, floor=floor):7.2f} ms")
 
     # ---- fused smpl-phase-like loss ----
-    def smpl_loss(pose):
+    def smpl_loss(pose, cache):
         v, _, _, _ = lbs_forward(smpl_model, pose, betas, trans)
         out = model.apply(params, cache, v, cc, bc,
                           method=SIFNet.query_heads, heads=("df", "parts"))
@@ -151,8 +155,8 @@ def main():
         vdiff = ((v[2:] - 2 * v[1:-1] + v[:-2]) ** 2).mean()
         return df + 0.0025 * ce + 1e4 * vdiff
 
-    sl_g = jax.jit(jax.value_and_grad(smpl_loss))
-    print(f"smpl-phase-like loss v+g:  {_time(lambda p: sl_g(p)[0], pose, floor=floor):7.2f} ms")
+    sl_g = jax.jit(jax.value_and_grad(smpl_loss, argnums=0))
+    print(f"smpl-phase-like loss v+g:  {_time(lambda p, c: sl_g(p, c)[0], pose, cache, floor=floor):7.2f} ms")
 
 
 if __name__ == "__main__":
