@@ -142,12 +142,21 @@ def bench_sifnet_and_stage6(jnp, jax, floor_s, do_stage4=True,
 
         # component split (round-3: makes the stage-4 lever visible —
         # is the 3-round masked harvest or the encoder the cost center?)
-        _fetch(jax.tree.leaves(encode_packed(params, images))[0])
+        # Fetching a cache leaf would drag 100s of MB through the ~30 MB/s
+        # tunnel and time host transfer, not encode: reduce the full cache
+        # to a scalar ON DEVICE and fetch only that.
+        @jax.jit
+        def encode_sum(params, images):
+            c = encode_packed(params, images)
+            return sum(jnp.sum(x.astype(jnp.float32))
+                       for x in jax.tree.leaves(c))
+
+        _fetch(encode_sum(params, images))
         t0 = time.perf_counter()
-        cache_e = encode_packed(params, images)
-        _fetch(jax.tree.leaves(cache_e)[0])
+        _fetch(encode_sum(params, images))
         out["stage4_encode_ms_per_frame"] = (
             (time.perf_counter() - t0 - floor_s) / Bg * 1000.0)
+        cache_e = encode_packed(params, images)
         _fetch(gen(params, cache_e, cc, bc,
                    jax.random.PRNGKey(2))["object"]["centers"])
         t0 = time.perf_counter()

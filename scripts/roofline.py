@@ -108,12 +108,22 @@ def main():
         return pack_cache(model.apply(params, images, method=SIFNet.encode),
                           pack_tmpx=pack_tmpx, pack_hg=pack_hg)
 
+    def encode_timed(params, images):
+        # Reduce the ~0.5 GB cache to a scalar ON DEVICE: fetching a cache
+        # leaf would time the ~30 MB/s tunnel transfer, not the encoder
+        # (block_until_ready does not wait for remote execution here, so
+        # every timed region must end in a small host fetch). The tree-sum
+        # adds ~1 GB of the ~100 GB counted bytes — negligible.
+        c = encode_fn(params, images)
+        return sum(jnp.sum(x.astype(jnp.float32))
+                   for x in jax.tree.leaves(c))
+
     programs = {}  # name -> (compiled, args, steps_per_budget)
     log("compiling encode...")
-    enc = jax.jit(encode_fn).lower(params, images).compile()
-    programs["encode"] = (enc, (params, images), 1)
+    enc_t = jax.jit(encode_timed).lower(params, images).compile()
+    programs["encode"] = (enc_t, (params, images), 1)
 
-    cache = enc(params, images)
+    cache = jax.jit(encode_fn)(params, images)
     ctx = dict(params=params, cache=cache, cc=cc, bc=bc)
 
     smpl_model = S.random_smpl_model(1, num_joints=52, num_verts=V)

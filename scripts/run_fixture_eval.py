@@ -473,7 +473,8 @@ def run_phase(args):
             # residual spurious-low-df pockets (see --grid-ratio note)
             "--robust-centers",
             "--crop-size", str(args.crop_size), "--save-name", "fixture"]
-            + (["--collision"] if args.collision else []))
+            + (["--collision"] if args.collision else [])
+            + (["--ocent", str(args.ocent)] if args.ocent else []))
         run_real_track(targs)  # is_done resume: skips if the pack exists
         return
     if phase in ("eval", "heldout-eval"):
@@ -570,6 +571,9 @@ def main():
     ap.add_argument("--collision", action="store_true",
                     help="enable the stage-6 SDF collision term in the "
                          "track phases (pair with --recon-tag coll)")
+    ap.add_argument("--ocent", type=float, default=0.0,
+                    help="stage-6 object-center anchor weight (see "
+                         "real_track --ocent; pair with --recon-tag)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--phase", choices=PHASES + HELDOUT_PHASES, default=None)
     ap.add_argument("--single-process", action="store_true",
@@ -598,7 +602,7 @@ def main():
     for k in ("out", "frames", "raster", "net_size", "crop_size",
               "chunk_size", "sif_epochs", "sif_samples", "grid_ratio",
               "results", "heldout_motion_seed", "heldout_results", "train_seqs",
-              "recon_tag",
+              "recon_tag", "ocent",
               "net_preset", "object_shape"):
         fwd += ["--" + k.replace("_", "-"), str(getattr(args, k))]
     if args.cpu:

@@ -407,3 +407,40 @@ def test_smpl_optimizer_segmented_matches_single_program(rng):
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(p1.pose), np.asarray(p2.pose),
                                atol=2e-5)
+
+
+def test_ocent_term_live(rng):
+    """--ocent anchors the object centroid to its INITIAL translation (the
+    stage-4 neural center): with a dominant weight the final translation
+    stays at the init even though the df/sil losses pull toward the GT
+    sphere; with weight 0 (reference release parity,
+    recon_fit_trivis_full.py:141) the fit moves to the GT."""
+    verts_t, faces_t = _sphere_mesh()
+    pts = jnp.asarray(verts_t[None].repeat(B, 0))
+    roi = np.tile(np.array([[700.0, 500.0, 700.0]], np.float32), (B, 1))
+    ref = soft_silhouette(
+        jnp.asarray(2.0 * (np.asarray(project_px(points=jnp.asarray(
+            verts_t + OBJ_CENTER_GT)[None]))[0] - roi[0, :2])
+            / roi[0, 2] - 1.0),
+        jnp.asarray(faces_t), 32, 1 / 16.0)
+    sil = SilRefs(image_ref=jnp.broadcast_to(ref, (B,) + ref.shape),
+                  keep_mask=jnp.ones((B, 32, 32)),
+                  roi_xyb=jnp.asarray(roi))
+    t_init = OBJ_CENTER_GT + np.array([0.15, -0.1, 0.1], np.float32)
+    args_common = (jnp.broadcast_to(jnp.eye(3), (B, 3, 3)),
+                   jnp.asarray(np.tile(t_init, (B, 1))), jnp.ones(B), pts,
+                   jnp.asarray(HUM_CENTER + HUM_RADIUS
+                               * _sphere_mesh(r=1.0)[0][None].repeat(B, 0)),
+                   np.full(verts_t.shape[0], 11, np.int32), jnp.ones(B),
+                   sil, pts, jnp.asarray(faces_t))
+    kw = dict(iter_obj=8, iter_sil=2, joint_max_iter=8, sil_size=32,
+              sil_sigma=1 / 16.0)
+    t_off = np.asarray(make_object_optimizer(
+        sphere_query_fn, project_px, JointFitConfig(**kw))(*args_common)[1])
+    t_anchor = np.asarray(make_object_optimizer(
+        sphere_query_fn, project_px,
+        JointFitConfig(w_ocent=1e6, **kw))(*args_common)[1])
+    d_off = np.linalg.norm(t_off - t_init, axis=-1).mean()
+    d_anchor = np.linalg.norm(t_anchor - t_init, axis=-1).mean()
+    assert d_off > 0.02, d_off          # parity path moves off the init
+    assert d_anchor < d_off * 0.2, (d_off, d_anchor)  # anchor holds it

@@ -384,6 +384,14 @@ def build_parser():
                          "builds the template SDF grid once per sequence")
     tr.add_argument("--sdf-res", type=int, default=64,
                     help="template SDF grid resolution for --collision")
+    tr.add_argument("--ocent", type=float, default=0.0,
+                    help="weight of the object-center anchor term in the "
+                         "stage-6 object/joint phases (occ-weighted sq "
+                         "distance of the object centroid to the stage-4 "
+                         "neural center). 0 = off, the reference release "
+                         "table's value (recon_fit_trivis_full.py:141); "
+                         "try 100 (=10^2) to re-anchor translation when "
+                         "stage 6 drifts the neural centers")
     tr.add_argument("--early-stop", action="store_true",
                     help="enable the stage-6 relative-loss early-stop "
                          "gates (default off: the reference's own gate "

@@ -178,6 +178,7 @@ def run_real_track(args):
     jcfg = JointFitConfig(
         early_stop=bool(getattr(args, "early_stop", False)),
         collision=collision,
+        w_ocent=float(getattr(args, "ocent", 0.0) or 0.0),
         smpl_query_points=getattr(args, "smpl_query_points", 0) or 0,
         sil_backend=getattr(args, "sil_backend", "auto"))
     sdf_grid = None

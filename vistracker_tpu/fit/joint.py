@@ -530,6 +530,18 @@ def make_object_optimizer(query_fn, project_px,
         terms["object"] = (df_o.mean(-1) * occ).mean()
         terms["scale"] = ((obj_s - cfg.obj_scale) ** 2).mean()
 
+    def ocent_loss(obj, env, terms):
+        """Opt-in (w_ocent > 0) anchor of the transformed object centroid to
+        the stage-4 neural center (the initial obj_t): occ-weighted squared
+        distance, the shape of the reference's compute_ocent_loss
+        (recon_fit_trivis_full.py:211-216). The reference RELEASE table
+        zeroes this term ('ocent': 0, :141 — parity default); it is exposed
+        because on held-out data stage 6 can drift the (already accurate)
+        neural centers, and this term measurably re-anchors them."""
+        if cfg.w_ocent:
+            d2 = ((obj.mean(1) - env["ocent_target"]) ** 2).sum(-1)
+            terms["ocent"] = (d2 * env["occ"]).mean()
+
     def temporal(obj, phase_joint, terms):
         if obj.shape[0] >= 4:
             w = 10.0 if phase_joint else 1.0
@@ -641,6 +653,7 @@ def make_object_optimizer(query_fn, project_px,
         preds = query_fn(env["ctx"], obj)
         terms = {}
         obj_losses(obj, preds, env["obj_s"], env["occ"], terms)
+        ocent_loss(obj, env, terms)
         temporal(obj, False, terms)
         return _weighted(terms, decay)
 
@@ -662,6 +675,7 @@ def make_object_optimizer(query_fn, project_px,
         preds = query_fn(env["ctx"], obj)
         terms = {}
         obj_losses(obj, preds, env["obj_s"], env["occ"], terms)
+        ocent_loss(obj, env, terms)
         temporal(obj, True, terms)
         terms["contact"] = contact_loss(obj, env["smpl_verts"],
                                         env["labels_h"], env["labels_o"],
@@ -716,7 +730,7 @@ def make_object_optimizer(query_fn, project_px,
                                       sdf_grid: SDFGrid | None = None):
             params = {"obj_r": obj_r, "obj_t": obj_t}
             env = dict(obj_points=obj_points, obj_s=obj_s, occ=occ_ratios,
-                       ctx=ctx)
+                       ocent_target=jax.lax.stop_gradient(obj_t), ctx=ctx)
             params, l1, _ = run1(params, env, cfg.iter_obj,
                                  seg=segment_iters)
             env2 = dict(env, sil=sil, sil_verts=sil_verts,
@@ -746,7 +760,7 @@ def make_object_optimizer(query_fn, project_px,
             steps_total)}."""
             params = {"obj_r": obj_r, "obj_t": obj_t}
             env = dict(obj_points=obj_points, obj_s=obj_s, occ=occ_ratios,
-                       ctx=ctx)
+                       ocent_target=jax.lax.stop_gradient(obj_t), ctx=ctx)
             env2 = dict(env, sil=sil, sil_verts=sil_verts,
                         sil_faces=sil_faces, trans_init=params["obj_t"])
             env3 = dict(env, smpl_verts=smpl_verts,
@@ -774,7 +788,7 @@ def make_object_optimizer(query_fn, project_px,
                         sil_faces, ctx=None, sdf_grid: SDFGrid | None = None):
         params = {"obj_r": obj_r, "obj_t": obj_t}
         env = dict(obj_points=obj_points, obj_s=obj_s, occ=occ_ratios,
-                   ctx=ctx)
+                   ocent_target=jax.lax.stop_gradient(obj_t), ctx=ctx)
         params, l1 = run_phase(
             lambda p, d: loss_obj_env(p, d, env), params, lrs_1,
             cfg.iter_obj, decay1)
