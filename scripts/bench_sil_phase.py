@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--scene", default="random", choices=["random", "grid"],
+                    help="random = giant unconnected triangles (worst case "
+                         "for block culling); grid = triangulated grid of "
+                         "small faces over the ROI (realistic template "
+                         "mesh shape)")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -45,10 +50,29 @@ def main():
 
     B, F, S = args.batch, args.faces, args.size
     rng = np.random.RandomState(0)
-    # a plausible projected mesh: verts spread over the ROI
-    V = 1300
-    v2d = rng.randn(B, V, 2).astype(np.float32) * 0.3
-    faces = rng.randint(0, V, (F, 3)).astype(np.int32)
+    if args.scene == "grid":
+        # triangulated grid over [-0.6, 0.6]^2: ~F small compact faces,
+        # the shape of a real projected template mesh
+        n = max(2, int(round(np.sqrt(F / 2.0))))
+        xs = np.linspace(-0.6, 0.6, n + 1, dtype=np.float32)
+        gx, gy = np.meshgrid(xs, xs, indexing="ij")
+        grid_v = np.stack([gx, gy], axis=-1).reshape(-1, 2)
+        V = grid_v.shape[0]
+        v2d = np.tile(grid_v[None], (B, 1, 1))
+        v2d += rng.randn(B, V, 2).astype(np.float32) * 0.003
+        idx = np.arange((n + 1) * (n + 1)).reshape(n + 1, n + 1)
+        qa, qb = idx[:-1, :-1].ravel(), idx[1:, :-1].ravel()
+        qc, qd = idx[:-1, 1:].ravel(), idx[1:, 1:].ravel()
+        faces = np.concatenate([np.stack([qa, qb, qd], -1),
+                                np.stack([qa, qd, qc], -1)]) \
+            .astype(np.int32)
+        F = faces.shape[0]
+        print(f"grid scene: {V} verts, {F} faces", flush=True)
+    else:
+        # giant unconnected triangles: verts spread over the ROI
+        V = 1300
+        v2d = rng.randn(B, V, 2).astype(np.float32) * 0.3
+        faces = rng.randint(0, V, (F, 3)).astype(np.int32)
     ref = (rng.rand(B, S, S) > 0.5).astype(np.float32)
     occ = np.ones(B, np.float32)
 

@@ -68,3 +68,79 @@ def test_grad_nonzero_and_descends(rng):
     assert float(jnp.abs(g).max()) > 0.0
     l1 = loss(v0 - 0.01 * g / (jnp.abs(g).max() + 1e-9))
     assert float(l1) < float(l0)
+
+
+def test_grad_cross_block_ties(rng):
+    """Faces duplicated across face-block boundaries produce exact max
+    ties in DIFFERENT 128-face blocks: the forward's incremental tie
+    count must still match jnp.max's equal-split vjp (XLA path)."""
+    v2d = jnp.asarray(rng.randn(1, 24, 2).astype(np.float32) * 0.5)
+    base = rng.randint(0, 24, (150, 3)).astype(np.int32)
+    faces = jnp.asarray(np.concatenate([base, base], axis=0))  # 300 = 3 blocks
+    target = jnp.asarray((rng.rand(1, SIZE, SIZE) > 0.5).astype(np.float32))
+
+    def loss(fn):
+        def f(v):
+            imgs = fn(v)
+            return ((imgs - target) ** 2).sum()
+        return f
+
+    ref = loss(lambda v: jax.vmap(
+        lambda vi: soft_silhouette(vi, faces, SIZE, SIGMA, chunk=512))(v))
+    out = loss(lambda v: soft_silhouette_batch(v, faces, SIZE, SIGMA,
+                                               interpret=True))
+    l0, g0 = jax.value_and_grad(ref)(v2d)
+    l1, g1 = jax.value_and_grad(out)(v2d)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_culling_scene_matches_xla(rng):
+    """Small faces clustered near the image top: for most row strips the
+    liveness bound proves no face can reach m >= -_CUT_SIGMAS*sigma and
+    the cell is culled, which must not change forward or gradient beyond
+    the sigmoid(-20) ~ 2e-9 tail. randn triangles include slivers whose
+    ghost rays (module docstring) keep distant strips live — the bound,
+    unlike a bbox apron, must keep those exact."""
+    size, sigma = 64, 1.0 / 64.0
+    centers = rng.uniform(-0.3, 0.3, (40, 1, 2)).astype(np.float32)
+    centers[..., 1] = centers[..., 1] * 0.25 - 0.75      # y in [-0.82, -0.68]
+    tri = rng.randn(40, 3, 2).astype(np.float32) * 0.03  # tiny faces
+    v2d = jnp.asarray((centers + tri).reshape(1, 120, 2))
+    faces = jnp.asarray(np.arange(120, dtype=np.int32).reshape(40, 3))
+    target = jnp.asarray((rng.rand(1, size, size) > 0.5).astype(np.float32))
+
+    # compact (equilateral) faces at the same spot must actually cull:
+    # rebuild the kernel's liveness mask and require culled cells. (The
+    # randn sliver scene itself may stay fully live through ghost rays —
+    # that is correct behaviour, checked by the parity asserts below.)
+    from vistracker_tpu.ops import pallas_raster as pr
+    from vistracker_tpu.ops.rasterizer import _edge_coeffs
+    ang = np.deg2rad([90.0, 210.0, 330.0]).astype(np.float32)
+    eq = 0.03 * np.stack([np.cos(ang), np.sin(ang)], axis=-1)[None]
+    v2d_eq = jnp.asarray((centers + eq).reshape(1, 120, 2))
+    coeffs, lengths, orient, nondeg = jax.vmap(
+        lambda v: _edge_coeffs(v, faces))(v2d_eq)
+    coeffs = coeffs * (orient[..., None, None] / lengths[..., None])
+    cpl = jnp.pad(coeffs.reshape(1, 40, 9),
+                  ((0, 0), (0, 128 - 40), (0, 0)))
+    cpl = cpl.at[:, 40:, 2::3].set(-pr._BIG)
+    act = np.asarray(pr._strip_active(cpl, size, sigma))
+    assert (act == 0).any() and (act == 1).any()
+
+    def loss(fn):
+        def f(v):
+            imgs = fn(v)
+            return ((imgs - target) ** 2).sum()
+        return f
+
+    ref = loss(lambda v: jax.vmap(
+        lambda vi: soft_silhouette(vi, faces, size, sigma, chunk=512))(v))
+    out = loss(lambda v: soft_silhouette_batch(v, faces, size, sigma,
+                                               interpret=True))
+    l0, g0 = jax.value_and_grad(ref)(v2d)
+    l1, g1 = jax.value_and_grad(out)(v2d)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-3, atol=1e-5)

@@ -9,11 +9,37 @@ value_and_grad of the sil-phase loss at release sizes (B=8, 2.5k faces,
 (scripts/bench_sil_phase.py; PERF_NOTES round 2).
 
 This kernel keeps everything in VMEM: a (face-block, row-strip) cell
-computes e_i = a*px + b*py + c for the 3 edges (VPU broadcast FMA),
-min -> sigmoid -> running max, with HBM traffic O(F + P) instead of
-O(F*P). The backward pass recomputes the edge values per tile, selects
-the winning faces per pixel by comparing with the saved forward output,
-and reduces the per-edge cotangents against [px, py, 1] over the tile.
+computes e_i = a*px + b*py + c for the 3 edges (VPU broadcast FMA) and
+min-reduces them, with HBM traffic O(F + P) instead of O(F*P). Three
+algorithmic moves on top of the round-2 kernel (PERF_NOTES round 3):
+
+  1. **Logit-space max.** sigmoid is monotone, so
+     max_f sigmoid(m_f / s) == sigmoid(max_f m_f / s) — the kernel
+     reduces the raw signed distances m and ONE sigmoid per *pixel* runs
+     in XLA outside, instead of one per (face, pixel) pair per sweep.
+     The sigmoid (and its p(1-p)/sigma backward factor) then come from
+     plain autodiff of the outer expression; the kernels are sigma-free.
+  2. **Fused tie counting.** The per-pixel count of faces tied at the
+     max (needed for jnp.max's equal-split vjp — see gradient notes) is
+     maintained incrementally in the forward sweep (new block max beats /
+     ties / loses the running max), eliminating the round-2 backward's
+     separate counting sweep: 3 F*P sweeps -> 2.
+  3. **Row-strip face culling.** Faces are y-sorted per batch element so
+     each 128-face block spans a narrow y band; a per-(strip, block)
+     active mask (SMEM) skips cells where NO face can reach
+     m >= -_CUT_SIGMAS * sigma anywhere in the strip — such faces
+     contribute p < sigmoid(-_CUT_SIGMAS) ~ 2e-9 and p(1-p) ~ 2e-9,
+     below fp32 noise for both the max and the gradient. The cull test
+     is a conservative interval bound on m itself,
+     max_strip m <= min_edges max_box (a x + b y + c)
+                  = min_edges (|a| + b y* + c),
+     NOT a bounding-box apron: a thin sliver's soft silhouette leaks
+     along its edge-line direction arbitrarily far from the face (all
+     three edge lines nearly coincide, so m stays near 0 along the
+     line), and the bound keeps exactly the strips such ghost rays
+     cross. Real template meshes (compact faces) cull 60-80% of cells;
+     the giant-triangle parity-test scenes cull nothing and stay
+     bit-exact.
 
 Layout notes (Mosaic rejects general vector shape casts, e.g. the
 1D->3D reshape a `c[:, None, None]` broadcast emits):
@@ -21,7 +47,9 @@ Layout notes (Mosaic rejects general vector shape casts, e.g. the
     so a lane slice `ct[:, k:k+1]` yields a native (fblk, 1) column;
   * pixel rows are processed as (fblk, size) tiles, one image row per
     step of a STATIC _RBLK-row unroll, with keepdims reductions and 2D
-    concatenates — no reshapes anywhere.
+    concatenates — no reshapes anywhere;
+  * the active mask is a small int32 (B*n_strips, n_fblocks) array
+    resident in SMEM, read as a scalar per grid cell.
 
 Gradient conventions vs the XLA path:
   * min over the 3 edges: cotangent split equally among exact ties
@@ -30,15 +58,17 @@ Gradient conventions vs the XLA path:
     pixel max (matches jnp.max's vjp). Ties are NOT measure-zero here:
     orientation correction makes fold-adjacent faces (one front-, one
     back-facing) share exact edge distances over whole pixel regions, so
-    the backward runs an extra counting pass over faces and divides by
-    the per-pixel tie count. (The XLA path's chunked scan splits ties
-    that span chunk boundaries by a 0.5 cascade instead — chunk-dependent
-    and non-canonical; with a single chunk the conventions coincide.)
+    the forward maintains a per-pixel tie count and the backward divides
+    by it. Ties are detected in logit (m) space; the XLA path ties in
+    p space. The two sets differ only where sigmoid saturates (distinct
+    m rounding to the same p), and there p(1-p) == 0 exactly, so every
+    face whose gradient is nonzero carries the same cotangent under both
+    conventions.
 
 Invalid faces (degenerate, or padding to the face-block multiple) are
 encoded as coefficient rows [0, 0, -BIG]: their edge value is -BIG, the
-sigmoid underflows to 0 (never the max unless everything is 0), and the
-gradient factor p(1-p) vanishes.
+outer sigmoid underflows to 0 (never the max unless everything is dead),
+and the gradient factor p(1-p) vanishes.
 """
 from __future__ import annotations
 
@@ -47,17 +77,22 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 1e9
 _FBLK = 128  # faces per grid cell
 _RBLK = 8    # image rows per grid cell (static in-kernel unroll)
+# faces farther than this many sigmas from every pixel of a row strip are
+# culled: sigmoid(-20) ~ 2e-9 can move neither the max nor the gradient
+# above fp32 noise.
+_CUT_SIGMAS = 20.0
 
 
-def _row_tiles(r_idx, ct, size: int, sigma: float):
-    """Yield (r, px, p, e0, e1, e2, m) for each of the _RBLK rows of row
+def _row_tiles(r_idx, ct, size: int):
+    """Yield (r, px, e0, e1, e2, m) for each of the _RBLK rows of row
     strip r_idx. ct is the (fblk, 9) coefficient tile; px is (1, size);
-    everything else (fblk, size). Shared by all three kernels so forward
-    and backward values match bitwise."""
+    everything else (fblk, size). Shared by the forward and backward
+    kernels so recomputed logits match the saved maxima bitwise."""
     col = jax.lax.broadcasted_iota(jnp.int32, (1, size), 1)
     scale = 2.0 / (size - 1)
     px = col.astype(jnp.float32) * scale - 1.0
@@ -72,124 +107,159 @@ def _row_tiles(r_idx, ct, size: int, sigma: float):
 
         e0, e1, e2 = edge(0), edge(1), edge(2)
         m = jnp.minimum(jnp.minimum(e0, e1), e2)
-        p = jax.nn.sigmoid(m * (1.0 / sigma))
-        yield r, px, p, e0, e1, e2, m
+        yield r, px, e0, e1, e2, m
 
 
-def _fwd_kernel(c_ref, out_ref, *, size: int, sigma: float):
-    """Grid (B, n_rstrips, n_fblocks); out (1, _RBLK, size) revisited
-    over f."""
-    r_idx, f_idx = pl.program_id(1), pl.program_id(2)
-
-    @pl.when(f_idx == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    rows = [jnp.max(p, axis=0, keepdims=True)           # (1, size)
-            for _, _, p, *_ in _row_tiles(r_idx, c_ref[0], size, sigma)]
-    out_ref[0] = jnp.maximum(out_ref[0], jnp.concatenate(rows, axis=0))
-
-
-def _cnt_kernel(c_ref, sil_ref, cnt_ref, *, size: int, sigma: float):
-    """Per-pixel count of faces tied at the max (jnp.max vjp equal-split).
-    Grid (B, n_rstrips, n_fblocks); cnt (1, _RBLK, size) revisited
-    over f."""
-    r_idx, f_idx = pl.program_id(1), pl.program_id(2)
+def _fwd_kernel(mask_ref, c_ref, m_ref, cnt_ref, *, size: int,
+                n_strips: int):
+    """Grid (B, n_strips, n_fblocks); m/cnt (1, _RBLK, size) revisited
+    over f. m is the per-pixel max logit, cnt the number of faces tied
+    at it (jnp.max vjp equal-split denominator)."""
+    b_idx, r_idx, f_idx = pl.program_id(0), pl.program_id(1), \
+        pl.program_id(2)
 
     @pl.when(f_idx == 0)
     def _():
+        m_ref[:] = jnp.full_like(m_ref, -_BIG)
         cnt_ref[:] = jnp.zeros_like(cnt_ref)
 
-    rows = []
-    for r, _, p, *_ in _row_tiles(r_idx, c_ref[0], size, sigma):
-        win = (p == sil_ref[0, r:r + 1, :]).astype(jnp.float32)
-        rows.append(jnp.sum(win, axis=0, keepdims=True))  # (1, size)
-    cnt_ref[0] = cnt_ref[0] + jnp.concatenate(rows, axis=0)
+    @pl.when(mask_ref[b_idx * n_strips + r_idx, f_idx] != 0)
+    def _():
+        for r, _, _, _, _, m in _row_tiles(r_idx, c_ref[0], size):
+            bm = jnp.max(m, axis=0, keepdims=True)            # (1, size)
+            bc = jnp.sum((m == bm).astype(jnp.float32), axis=0,
+                         keepdims=True)
+            old_m = m_ref[0, r:r + 1, :]
+            old_c = cnt_ref[0, r:r + 1, :]
+            cnt_ref[0, r:r + 1, :] = jnp.where(
+                bm > old_m, bc, jnp.where(bm == old_m, old_c + bc, old_c))
+            m_ref[0, r:r + 1, :] = jnp.maximum(old_m, bm)
 
 
-def _bwd_kernel(c_ref, sil_ref, g_ref, cnt_ref, dc_ref, *, size: int,
-                sigma: float):
-    """Grid (B, n_fblocks, n_rstrips); dc (1, fblk, 9) revisited over r."""
-    r_idx = pl.program_id(2)
+def _bwd_kernel(mask_ref, c_ref, m_ref, gw_ref, dc_ref, *, size: int,
+                n_strips: int):
+    """Grid (B, n_fblocks, n_strips); dc (1, fblk, 9) revisited over r.
+    gw is the per-pixel cotangent already divided by the tie count; the
+    kernel recomputes the logits, selects winners by bitwise comparison
+    with the saved max, splits equally among tied edges (jnp.min vjp)
+    and reduces the per-edge cotangents against [px, py, 1]."""
+    b_idx, f_idx, r_idx = pl.program_id(0), pl.program_id(1), \
+        pl.program_id(2)
 
     @pl.when(r_idx == 0)
     def _():
         dc_ref[:] = jnp.zeros_like(dc_ref)
 
-    acc = [jnp.zeros((_FBLK, 1), jnp.float32) for _ in range(9)]
-    for r, px, p, e0, e1, e2, m in _row_tiles(r_idx, c_ref[0], size,
-                                              sigma):
-        # winning faces: recomputed p bit-matches the forward (identical
-        # ops); equal split among faces tied at the max (cnt >= 1
-        # wherever win != 0)
-        win = (p == sil_ref[0, r:r + 1, :]).astype(jnp.float32)
-        win = win / jnp.maximum(cnt_ref[0, r:r + 1, :], 1.0)
-        gm = g_ref[0, r:r + 1, :] * win * p * (1.0 - p) * (1.0 / sigma)
-        # equal split among tied edges (jnp.min vjp convention)
-        t0 = (e0 == m).astype(jnp.float32)
-        t1 = (e1 == m).astype(jnp.float32)
-        t2 = (e2 == m).astype(jnp.float32)
-        gm = gm / (t0 + t1 + t2)
-        py = (r_idx * _RBLK + r).astype(jnp.float32) * (2.0 / (size - 1)) \
-            - 1.0
-        for j, tj in enumerate((t0, t1, t2)):
-            de = gm * tj                                  # (fblk, size)
-            dsum = jnp.sum(de, axis=1, keepdims=True)     # (fblk, 1)
-            acc[3 * j + 0] += jnp.sum(de * px, axis=1, keepdims=True)
-            acc[3 * j + 1] += dsum * py
-            acc[3 * j + 2] += dsum
-    dc_ref[0] = dc_ref[0] + jnp.concatenate(acc, axis=1)  # (fblk, 9)
+    @pl.when(mask_ref[b_idx * n_strips + r_idx, f_idx] != 0)
+    def _():
+        acc = [jnp.zeros((_FBLK, 1), jnp.float32) for _ in range(9)]
+        for r, px, e0, e1, e2, m in _row_tiles(r_idx, c_ref[0], size):
+            win = (m == m_ref[0, r:r + 1, :]).astype(jnp.float32)
+            gm = gw_ref[0, r:r + 1, :] * win
+            # equal split among tied edges (jnp.min vjp convention)
+            t0 = (e0 == m).astype(jnp.float32)
+            t1 = (e1 == m).astype(jnp.float32)
+            t2 = (e2 == m).astype(jnp.float32)
+            gm = gm / (t0 + t1 + t2)
+            py = (r_idx * _RBLK + r).astype(jnp.float32) \
+                * (2.0 / (size - 1)) - 1.0
+            for j, tj in enumerate((t0, t1, t2)):
+                de = gm * tj                                  # (fblk, size)
+                dsum = jnp.sum(de, axis=1, keepdims=True)     # (fblk, 1)
+                acc[3 * j + 0] += jnp.sum(de * px, axis=1, keepdims=True)
+                acc[3 * j + 1] += dsum * py
+                acc[3 * j + 2] += dsum
+        dc_ref[0] = dc_ref[0] + jnp.concatenate(acc, axis=1)  # (fblk, 9)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def _sil_from_planes(cpl: jax.Array, size: int, sigma: float,
-                     interpret: bool) -> jax.Array:
-    """(B, F', 9) coefficient planes -> (B, size, size) silhouette."""
-    return _sil_fwd(cpl, size, sigma, interpret)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _max_logit(cpl: jax.Array, active: jax.Array, size: int,
+               interpret: bool) -> jax.Array:
+    """(B, F', 9) coefficient planes + (B*n_strips, n_fblocks) int32
+    active mask -> (B, size, size) per-pixel max signed distance."""
+    return _ml_fwd(cpl, active, size, interpret)[0]
 
 
-def _sil_fwd(cpl, size, sigma, interpret):
+def _ml_fwd(cpl, active, size, interpret):
     B, F, _ = cpl.shape
     assert size % _RBLK == 0 and F % _FBLK == 0
-    grid = (B, size // _RBLK, F // _FBLK)
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel, size=size, sigma=sigma),
-        grid=grid,
-        in_specs=[pl.BlockSpec((1, _FBLK, 9), lambda b, r, f: (b, f, 0))],
-        out_specs=pl.BlockSpec((1, _RBLK, size), lambda b, r, f: (b, r, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, size, size), jnp.float32),
-        interpret=interpret,
-    )(cpl)
-    return out, (cpl, out)
-
-
-def _sil_bwd(size, sigma, interpret, res, g):
-    cpl, sil = res
-    B, F, _ = cpl.shape
-    coeff_spec = pl.BlockSpec((1, _FBLK, 9), lambda b, r, f: (b, f, 0))
+    n_strips = size // _RBLK
+    grid = (B, n_strips, F // _FBLK)
     img_spec = pl.BlockSpec((1, _RBLK, size), lambda b, r, f: (b, r, 0))
-    cnt = pl.pallas_call(
-        functools.partial(_cnt_kernel, size=size, sigma=sigma),
-        grid=(B, size // _RBLK, F // _FBLK),
-        in_specs=[coeff_spec, img_spec],
-        out_specs=img_spec,
-        out_shape=jax.ShapeDtypeStruct((B, size, size), jnp.float32),
+    m, cnt = pl.pallas_call(
+        functools.partial(_fwd_kernel, size=size, n_strips=n_strips),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _FBLK, 9), lambda b, r, f: (b, f, 0)),
+        ],
+        out_specs=[img_spec, img_spec],
+        out_shape=[jax.ShapeDtypeStruct((B, size, size), jnp.float32),
+                   jax.ShapeDtypeStruct((B, size, size), jnp.float32)],
         interpret=interpret,
-    )(cpl, sil)
+    )(active, cpl)
+    return m, (cpl, active, m, cnt)
+
+
+def _ml_bwd(size, interpret, res, g):
+    cpl, active, m, cnt = res
+    B, F, _ = cpl.shape
+    n_strips = size // _RBLK
+    # equal split among faces tied at the max (cnt >= 1 wherever a
+    # winner exists)
+    gw = g.astype(jnp.float32) / jnp.maximum(cnt, 1.0)
     coeff_spec_b = pl.BlockSpec((1, _FBLK, 9), lambda b, f, r: (b, f, 0))
     img_spec_b = pl.BlockSpec((1, _RBLK, size), lambda b, f, r: (b, r, 0))
     dc = pl.pallas_call(
-        functools.partial(_bwd_kernel, size=size, sigma=sigma),
-        grid=(B, F // _FBLK, size // _RBLK),
-        in_specs=[coeff_spec_b, img_spec_b, img_spec_b, img_spec_b],
+        functools.partial(_bwd_kernel, size=size, n_strips=n_strips),
+        grid=(B, F // _FBLK, n_strips),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), coeff_spec_b,
+                  img_spec_b, img_spec_b],
         out_specs=coeff_spec_b,
         out_shape=jax.ShapeDtypeStruct((B, F, 9), jnp.float32),
         interpret=interpret,
-    )(cpl, sil, g.astype(jnp.float32), cnt)
-    return (dc,)
+    )(active, cpl, m, gw)
+    return (dc, None)
 
 
-_sil_from_planes.defvjp(_sil_fwd, _sil_bwd)
+_max_logit.defvjp(_ml_fwd, _ml_bwd)
+
+
+def _strip_active(cpl: jax.Array, size: int, sigma: float) -> jax.Array:
+    """Conservative per-(strip, face-block) liveness from the sorted,
+    padded, normalized coefficient planes cpl (B, F', 9).
+
+    For every face and row strip, bound the max of m = min_j e_j over
+    each of _NSEG x-segments of the strip's pixel box
+    [x in [xc-xh, xc+xh], y in [ylo, yhi]]:
+        max_box m <= min_j max_box e_j
+                   = min_j (a_j xc + |a_j| xh + max(b_j ylo, b_j yhi)
+                            + c_j),
+    then OR the segments (the x split tightens the concave-in-x
+    min-of-linear bound, whose true max sits between corner values).
+    A block is live for a strip iff ANY of its faces can reach
+    m >= -_CUT_SIGMAS * sigma in ANY segment. Dead/padding rows
+    ([0,0,-BIG]) bound to -BIG and never activate anything. Returns
+    int32 (B * n_strips, n_fblk)."""
+    B, Fp, _ = cpl.shape
+    n_fblk, n_strips = Fp // _FBLK, size // _RBLK
+    nseg = 8
+    a = cpl[..., 0::3, None, None]                    # (B, F', 3, 1, 1)
+    b = cpl[..., 1::3, None, None]
+    c = cpl[..., 2::3, None, None]
+    scale = 2.0 / (size - 1)
+    s_lo = jnp.arange(n_strips, dtype=jnp.float32) * _RBLK * scale - 1.0
+    s_hi = s_lo + (_RBLK - 1) * scale                 # (S,)
+    xh = 1.0 / nseg
+    xc = ((jnp.arange(nseg, dtype=jnp.float32) + 0.5) * 2.0 * xh
+          - 1.0)[:, None]                             # (nseg, 1)
+    ub_e = (a * xc + jnp.abs(a) * xh +
+            jnp.maximum(b * s_lo, b * s_hi) + c)      # (B, F', 3, nseg, S)
+    m_ub = jnp.min(ub_e, axis=2)                      # (B, F', nseg, S)
+    live = jnp.any(m_ub >= -_CUT_SIGMAS * float(sigma), axis=2)
+    live = jnp.any(live.reshape(B, n_fblk, _FBLK, n_strips), axis=2)
+    return jnp.transpose(live, (0, 2, 1)).astype(jnp.int32) \
+        .reshape(B * n_strips, n_fblk)
 
 
 @functools.partial(jax.jit, static_argnames=("size", "sigma", "interpret"))
@@ -200,9 +270,10 @@ def soft_silhouette_batch(v2d: jax.Array, faces: jax.Array,
     -> (B, size, size) in [0, 1]. Same semantics (and matching gradients,
     see module docstring) as vmap(ops.rasterizer.soft_silhouette).
 
-    The edge-coefficient construction stays in plain JAX (it is O(F), and
-    its vjp chains the kernel's dcoeffs back to v2d automatically); only
-    the O(F*P) evaluation runs in the kernel.
+    The edge-coefficient construction, the y-sort + liveness bound for
+    block culling and the final per-pixel sigmoid stay in plain JAX (all
+    O(F) or O(P), and their vjps chain the kernel's dcoeffs back to v2d
+    automatically); only the O(F*P) logit-max runs in the kernel.
     """
     from .rasterizer import _edge_coeffs
 
@@ -215,9 +286,20 @@ def soft_silhouette_batch(v2d: jax.Array, faces: jax.Array,
     coeffs = jnp.where(nondeg[..., None, None], coeffs,
                        jnp.broadcast_to(dead, coeffs.shape))
     B, F = coeffs.shape[:2]
+    cpl = coeffs.reshape(B, F, 9)                             # (B, F, 9)
+
+    # y-sort so each face block spans a narrow y band (tight block-level
+    # liveness OR); dead faces sort last
+    fy = v2d[:, faces, 1]                                     # (B, F, 3)
+    ymin = jnp.where(nondeg, jnp.min(fy, axis=-1), _BIG)
+    order = jnp.argsort(ymin, axis=1)
+    cpl = jnp.take_along_axis(cpl, order[..., None], axis=1)
+
     pad = (-F) % _FBLK
-    cpl = coeffs.reshape(B, F, 9)                         # (B, F, 9)
     cpl = jnp.pad(cpl, ((0, 0), (0, pad), (0, 0)), constant_values=0.0)
     if pad:  # padded faces must read [0, 0, -BIG], not all-zero
         cpl = cpl.at[:, F:, 2::3].set(-_BIG)
-    return _sil_from_planes(cpl, size, float(sigma), interpret)
+
+    active = _strip_active(jax.lax.stop_gradient(cpl), size, float(sigma))
+    m = _max_logit(cpl, active, size, interpret)
+    return jax.nn.sigmoid(m * (1.0 / float(sigma)))
