@@ -165,20 +165,35 @@ def bench_sifnet_and_stage6(jnp, jax, floor_s, do_stage4=True,
         out["stage4_generate_ms_per_frame"] = (
             (time.perf_counter() - t0 - floor_s) / Bg * 1000.0)
 
-        # stage-3 analog: triplane mask render of one SMPL mesh (the other
-        # per-frame input producer feeding the encoder)
-        from vistracker_tpu.ops.rasterizer import render_triplane_masks
-        tri_v = jnp.asarray((rng.randn(6890, 3) * 0.3
-                             + np.array([0, 0.3, 2.4])).astype(np.float32))
-        tri_f = jnp.asarray(rng.randint(0, 6890, (13776, 3)).astype(np.int32))
-        tri_bc = jnp.asarray([0.0, 0.3, 2.4])
-        tri_jit = jax.jit(lambda v: render_triplane_masks(v, tri_f, tri_bc,
-                                                          H))
+        # stage-3 analog: batched triplane mask render of Bg SMPL meshes
+        # (the other per-frame input producer feeding the encoder). The
+        # mesh is a deformed sphere grid — compact connected faces like a
+        # real SMPL surface (random connectivity would make every face a
+        # giant sliver and defeat the kernel's block culling, a shape the
+        # real pipeline never sees).
+        from vistracker_tpu.ops.rasterizer import render_triplane_masks_batch
+        nv = 83  # 83^2 = 6889 verts, ~13.5k faces: SMPL-sized
+        th = np.linspace(0.3, np.pi - 0.3, nv, dtype=np.float32)
+        ph = np.linspace(0.0, 2 * np.pi, nv, dtype=np.float32)
+        tt, pp = np.meshgrid(th, ph, indexing="ij")
+        sph = np.stack([np.sin(tt) * np.cos(pp), np.cos(tt),
+                        np.sin(tt) * np.sin(pp)], -1).reshape(-1, 3) * 0.4
+        tri_v = jnp.asarray(sph[None] + np.array([0, 0.3, 2.4])
+                            + rng.randn(Bg, 1, 3).astype(np.float32) * 0.02)
+        qi = np.arange(nv * nv).reshape(nv, nv)
+        qa, qb = qi[:-1, :-1].ravel(), qi[1:, :-1].ravel()
+        qc, qd = qi[:-1, 1:].ravel(), qi[1:, 1:].ravel()
+        tri_f = jnp.asarray(np.concatenate(
+            [np.stack([qa, qb, qd], -1),
+             np.stack([qa, qd, qc], -1)]).astype(np.int32))
+        tri_bc = jnp.asarray(np.asarray(tri_v).mean(1))
+        tri_jit = jax.jit(lambda v: render_triplane_masks_batch(
+            v, tri_f, tri_bc, H))
         _fetch(tri_jit(tri_v))
         t0 = time.perf_counter()
         _fetch(tri_jit(tri_v))
         out["stage3_triplane_render_ms_per_frame"] = (
-            time.perf_counter() - t0 - floor_s) * 1000.0
+            (time.perf_counter() - t0 - floor_s) / Bg * 1000.0)
 
         # ---- query path: 8 x 20k field eval from the packed cache ----
         ptsq = jnp.asarray((rng.randn(Bg, 20000, 3) * 0.4

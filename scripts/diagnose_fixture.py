@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--net-preset", default="tiny",
                     help="which run_fixture_eval preset's recon to "
                          "diagnose (non-tiny paths carry a _PRESET suffix)")
+    ap.add_argument("--recon-tag", default="",
+                    help="extra recon-dir suffix used by run_fixture_eval "
+                         "--recon-tag variants (B-ladder chunk sizes, "
+                         "--collision, --ocent runs)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--heldout", action="store_true",
                     help="diagnose the held-out-motion recon "
@@ -50,7 +54,8 @@ def main():
     fx = {k: m[k] for k in m.files}
     seq_name = str(fx["seq_name"])
     psuf = "" if args.net_preset == "tiny" else f"_{args.net_preset}"
-    rdir = ("recon_heldout" if args.heldout else "recon") + psuf
+    rsuf = psuf + (f"_{args.recon_tag}" if args.recon_tag else "")
+    rdir = ("recon_heldout" if args.heldout else "recon") + rsuf
     recon = load_packed(osp.join(args.run, rdir, "recon_fixture",
                                  f"{seq_name}_k1.pkl"))
     gt = load_packed(str(fx["gt_pack"]))
@@ -126,7 +131,7 @@ def main():
         np.asarray(verts) - np.asarray(gt_verts), axis=-1).mean() * 100)
     print(f"SMPL raw (unaligned) v2v: {rep['smpl_v2v_cm']:.2f} cm")
     hsuf = "_heldout" if args.heldout else ""
-    with open(osp.join(args.run, f"diagnostics{hsuf}{psuf}.json"), "w") as f:
+    with open(osp.join(args.run, f"diagnostics{hsuf}{rsuf}.json"), "w") as f:
         json.dump(rep, f, indent=2, default=float)
 
 

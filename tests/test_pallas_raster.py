@@ -144,3 +144,42 @@ def test_culling_scene_matches_xla(rng):
     np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_coverage_mask_matches_xla(rng):
+    """Hard coverage mask (stage-3 triplane path): exact {0,1} equality
+    with vmap(rasterize_mask), incl. degenerate faces, padding, offscreen
+    faces, and a >_MASK_VIEWS batch (exercises the SMEM batch slicing)."""
+    from vistracker_tpu.ops.rasterizer import rasterize_mask
+    from vistracker_tpu.ops.pallas_raster import (coverage_mask_batch,
+                                                  _MASK_VIEWS)
+    B = _MASK_VIEWS + 3
+    v2d = rng.randn(B, 40, 2).astype(np.float32) * 0.6
+    v2d[:, 30:] += 3.0  # some fully offscreen verts/faces
+    faces = rng.randint(0, 40, (150, 3)).astype(np.int32)
+    faces[5] = [3, 3, 7]  # zero-area
+    v2d, faces = jnp.asarray(v2d), jnp.asarray(faces)
+    ref = jax.vmap(lambda v: rasterize_mask(v, faces, SIZE, chunk=64))(v2d)
+    out = coverage_mask_batch(v2d, faces, SIZE, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_triplane_batch_matches_per_frame(rng):
+    """render_triplane_masks_batch (pallas backend, interpret) equals the
+    per-frame render_triplane_masks stack bit-exactly."""
+    from vistracker_tpu.ops.rasterizer import (render_triplane_masks,
+                                               render_triplane_masks_batch)
+    B, V = 3, 30
+    verts = jnp.asarray(
+        (rng.randn(B, V, 3) * 0.3 + np.array([0, 0.3, 2.4]))
+        .astype(np.float32))
+    faces = jnp.asarray(rng.randint(0, V, (25, 3)).astype(np.int32))
+    bc = jnp.asarray(verts.mean(axis=1))
+    ref = jnp.stack([render_triplane_masks(verts[i], faces, bc[i], SIZE)
+                     for i in range(B)])
+    out = render_triplane_masks_batch(verts, faces, bc, SIZE,
+                                      backend="pallas", interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    xla = render_triplane_masks_batch(verts, faces, bc, SIZE,
+                                      backend="xla")
+    np.testing.assert_array_equal(np.asarray(xla), np.asarray(ref))

@@ -46,7 +46,8 @@ def run_synthetic_track(args) -> dict:
     from ..models.sifnet import SIFNet, SIFNetConfig
     from ..models.smoothnet import SmoothNet, SmoothNetSMPL
     from ..models.infiller import ConditionalMInfiller, InfillerConfig
-    from ..ops.rasterizer import rasterize_mask, render_triplane_masks
+    from ..ops.rasterizer import rasterize_mask, \
+        render_triplane_masks_batch
     from ..core.smpl import lbs_forward
     from ..core.camera import PerspectiveCamera
     from ..data.packed import PackedRecon, save_packed, load_packed_recon, \
@@ -118,9 +119,8 @@ def run_synthetic_track(args) -> dict:
                                   params2.trans)
     body_centers = scene.landmarks.smpl_center(verts2)  # (T, 3)
     smpl_faces = jnp.asarray(scene.smpl_faces[:256])
-    triplanes = jnp.stack([
-        render_triplane_masks(verts2[i], smpl_faces, body_centers[i],
-                              net_size) for i in range(T)])
+    triplanes = render_triplane_masks_batch(verts2, smpl_faces,
+                                            body_centers, net_size)
     timings["triplane"] = time.time() - t0
 
     # ---------------- stage 4: SIF-Net + surface generation ----------------
@@ -580,7 +580,8 @@ def run_train_sifnet(args):
     from ..fit.train import TrainConfig, init_train_state, make_train_step
     from ..fit.trainer_loop import LoopConfig, train_loop
     from ..models.sifnet import SIFNet, SIFNetConfig
-    from ..ops.rasterizer import rasterize_mask, render_triplane_masks
+    from ..ops.rasterizer import rasterize_mask, \
+        render_triplane_masks_batch
 
     if args.offline_data:
         # offline precomputed-npz path (train_data.py:BehaveDataset):
@@ -619,6 +620,8 @@ def run_train_sifnet(args):
         obj_world = recon_obj_verts(scene.temp_verts, scene.obj_rot_gt,
                                     scene.obj_trans_gt, np.ones(T))
 
+        tris = np.asarray(render_triplane_masks_batch(
+            verts, smpl_faces, bc, S))
         frames = []
         for i in range(T):
             ndc_s = np.asarray(cam.project_points(
@@ -628,12 +631,10 @@ def run_train_sifnet(args):
             pm = np.asarray(rasterize_mask(jnp.asarray(ndc_s), smpl_faces, S))
             om = np.asarray(rasterize_mask(jnp.asarray(ndc_o),
                                            jnp.asarray(scene.temp_faces), S))
-            tri = np.asarray(render_triplane_masks(verts[i], smpl_faces,
-                                                   bc[i], S))
             rgb = np.repeat(pm[..., None], 3, -1) * 0.5 \
                 + np.repeat(om[..., None], 3, -1) * 0.3
-            image = np.concatenate([rgb, pm[..., None], om[..., None], tri],
-                                   -1).astype(np.float32)
+            image = np.concatenate([rgb, pm[..., None], om[..., None],
+                                    tris[i]], -1).astype(np.float32)
             frames.append(dict(
                 image=image, crop_center=cc[i].astype(np.float32),
                 body_center=np.asarray(bc[i], np.float32),

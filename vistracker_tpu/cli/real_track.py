@@ -56,7 +56,7 @@ def run_real_track(args):
     from ..models.smoothnet import SmoothNet, SmoothNetSMPL
     from ..models.infiller import ConditionalMInfiller, InfillerConfig
     from ..models import torch_import as TI
-    from ..ops.rasterizer import render_triplane_masks
+    from ..ops.rasterizer import render_triplane_masks_batch
     from ..utils.mesh import sample_surface, decimate_faces
 
     t_start = time.time()
@@ -292,6 +292,9 @@ def run_real_track(args):
         Rebuilt from the readers on each pass — recomputing the crops +
         encode is far cheaper than holding every chunk's feature cache
         (~5 GB/chunk at release sizes) across the full-sequence stages."""
+        tris = np.asarray(render_triplane_masks_batch(
+            jnp.asarray(verts2_c), smpl_faces,
+            jnp.asarray(body_centers_c), args.net_size))
         images, ccs = [], []
         for j, idx in enumerate(chunk):
             rgb = reader.get_color(idx, kid)
@@ -299,9 +302,7 @@ def run_real_track(args):
             om = reader.get_mask(idx, kid, "obj")
             img5, cc = prepare_input_crop(rgb, pm, om, args.crop_size,
                                           args.net_size)
-            tri = np.asarray(render_triplane_masks(
-                verts2_c[j], smpl_faces, body_centers_c[j], args.net_size))
-            images.append(np.concatenate([img5, tri], -1))
+            images.append(np.concatenate([img5, tris[j]], -1))
             ccs.append(cc)
         return np.stack(images), np.stack(ccs)
 

@@ -275,6 +275,19 @@ def soft_silhouette_batch(v2d: jax.Array, faces: jax.Array,
     O(F) or O(P), and their vjps chain the kernel's dcoeffs back to v2d
     automatically); only the O(F*P) logit-max runs in the kernel.
     """
+    cpl = _planes(v2d, faces)
+    active = _strip_active(jax.lax.stop_gradient(cpl), size, float(sigma))
+    m = _max_logit(cpl, active, size, interpret)
+    return jax.nn.sigmoid(m * (1.0 / float(sigma)))
+
+
+def _planes(v2d: jax.Array, faces: jax.Array, want_ybounds: bool = False):
+    """(B, V, 2) NDC verts + (F, 3) faces -> y-sorted, padded, normalized
+    coefficient planes (B, F', 9), F' a _FBLK multiple; each row holds the
+    3 inside-positive signed-distance edge functions of one face and dead
+    (degenerate / padding) rows read [0, 0, -BIG]. With want_ybounds also
+    returns the matching sorted/padded per-face y intervals (ymin, ymax),
+    dead rows reading the empty interval (+BIG, -BIG)."""
     from .rasterizer import _edge_coeffs
 
     coeffs, lengths, orient, nondeg = jax.vmap(
@@ -299,7 +312,66 @@ def soft_silhouette_batch(v2d: jax.Array, faces: jax.Array,
     cpl = jnp.pad(cpl, ((0, 0), (0, pad), (0, 0)), constant_values=0.0)
     if pad:  # padded faces must read [0, 0, -BIG], not all-zero
         cpl = cpl.at[:, F:, 2::3].set(-_BIG)
+    if not want_ybounds:
+        return cpl
+    ymax = jnp.where(nondeg, jnp.max(fy, axis=-1), -_BIG)
+    ymin_s = jnp.pad(jnp.take_along_axis(ymin, order, axis=1),
+                     ((0, 0), (0, pad)), constant_values=_BIG)
+    ymax_s = jnp.pad(jnp.take_along_axis(ymax, order, axis=1),
+                     ((0, 0), (0, pad)), constant_values=-_BIG)
+    return cpl, ymin_s, ymax_s
 
-    active = _strip_active(jax.lax.stop_gradient(cpl), size, float(sigma))
-    m = _max_logit(cpl, active, size, interpret)
-    return jax.nn.sigmoid(m * (1.0 / float(sigma)))
+
+def _strip_active_ybbox(ymin: jax.Array, ymax: jax.Array,
+                        size: int) -> jax.Array:
+    """EXACT strip liveness for the HARD mask from per-face y intervals
+    (B, F'): a covered pixel (m >= 0) lies inside its face, hence inside
+    the face's y interval, so a (strip, block) cell is live iff the
+    block's merged y band intersects the strip's pixel-y range. O(F)
+    with no (F x strips) intermediates — the sil path's segmented
+    interval bound materializes (B, F', 3, nseg, strips), which at
+    stage-3 shapes (24 views x 13.8k faces x 64 strips) is GBs of HBM
+    traffic for a mask that needs no sigma tail (PERF_NOTES round 3)."""
+    B, Fp = ymin.shape
+    n_fblk, n_strips = Fp // _FBLK, size // _RBLK
+    blo = jnp.min(ymin.reshape(B, n_fblk, _FBLK), axis=2)    # (B, nblk)
+    bhi = jnp.max(ymax.reshape(B, n_fblk, _FBLK), axis=2)
+    scale = 2.0 / (size - 1)
+    s_lo = jnp.arange(n_strips, dtype=jnp.float32) * _RBLK * scale - 1.0
+    s_hi = s_lo + (_RBLK - 1) * scale
+    live = (blo[:, None, :] <= s_hi[None, :, None]) \
+        & (bhi[:, None, :] >= s_lo[None, :, None])           # (B, S, nblk)
+    return live.astype(jnp.int32).reshape(B * n_strips, n_fblk)
+
+
+# SMEM budget guard: the liveness mask is (views * n_strips, n_fblocks)
+# int32 resident in SMEM; slicing the batch keeps it small for the big
+# stage-3 shapes (90 views x 13.8k SMPL faces at 512^2).
+_MASK_VIEWS = 8
+
+
+@functools.partial(jax.jit, static_argnames=("size", "interpret"))
+def coverage_mask_batch(v2d: jax.Array, faces: jax.Array,
+                        size: int = 512,
+                        interpret: bool = False) -> jax.Array:
+    """Batched HARD coverage mask: (B, V, 2) NDC verts + (F, 3) faces ->
+    (B, size, size) float32 {0, 1}. Same semantics as
+    vmap(ops.rasterizer.rasterize_mask) (stage-3 triplane inputs,
+    render_triplane_nr.py:106-108 "mask = depth < far"): a pixel is
+    covered iff all 3 edge functions are >= 0 for some face, i.e. iff the
+    max over faces of m = min_j e_j is >= 0 — the sigma -> 0 limit of the
+    soft silhouette, so the kernel is reused with cull threshold 0 (the
+    liveness bound upper-bounds m itself, so culled cells provably
+    contain no covered pixel). Non-differentiable by construction.
+    """
+    cpl, ymin, ymax = _planes(v2d, faces, want_ybounds=True)
+    cpl = jax.lax.stop_gradient(cpl)
+    active = _strip_active_ybbox(ymin, ymax, size)
+    outs = []
+    for s in range(0, cpl.shape[0], _MASK_VIEWS):
+        m = _max_logit(cpl[s:s + _MASK_VIEWS],
+                       active[s * (size // _RBLK):
+                              (s + _MASK_VIEWS) * (size // _RBLK)],
+                       size, interpret)
+        outs.append(m >= 0.0)
+    return jnp.concatenate(outs, 0).astype(jnp.float32)

@@ -174,3 +174,30 @@ def render_triplane_masks(verts: jax.Array, faces: jax.Array,
     ndc = triplane_ndc(verts, body_center)
     masks = [rasterize_mask(ndc[i], faces, size) for i in range(3)]
     return jnp.stack(masks, -1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("size", "backend", "interpret"))
+def render_triplane_masks_batch(verts: jax.Array, faces: jax.Array,
+                                body_centers: jax.Array, size: int = 512,
+                                backend: str = "auto",
+                                interpret: bool = False) -> jax.Array:
+    """Batched stage-3 triplane render: (B, V, 3) camera-frame verts +
+    (F, 3) faces + (B, 3) body centers -> (B, size, size, 3), channels =
+    right/back/top. Equals stacking render_triplane_masks per frame; on
+    TPU all 3B views run through the fused Pallas coverage kernel in one
+    program (the per-frame XLA path round-trips (chunk, 3, P) edge values
+    through HBM and pays one dispatch per view — PERF_NOTES round 3)."""
+    from ..core.camera import triplane_project
+
+    ndc = triplane_project(verts, body_centers)           # (B, 3, V, 2)
+    B, _, V, _ = ndc.shape
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        from .pallas_raster import coverage_mask_batch
+        masks = coverage_mask_batch(ndc.reshape(B * 3, V, 2), faces, size,
+                                    interpret=interpret)
+        return jnp.transpose(masks.reshape(B, 3, size, size), (0, 2, 3, 1))
+    return jax.vmap(lambda nd: jnp.stack(
+        [rasterize_mask(nd[i], faces, size) for i in range(3)], -1))(ndc)
