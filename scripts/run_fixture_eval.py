@@ -474,7 +474,8 @@ def run_phase(args):
             "--robust-centers",
             "--crop-size", str(args.crop_size), "--save-name", "fixture"]
             + (["--collision"] if args.collision else [])
-            + (["--ocent", str(args.ocent)] if args.ocent else []))
+            + (["--ocent", str(getattr(args, "ocent", 0.0))]
+               if getattr(args, "ocent", 0.0) else []))
         run_real_track(targs)  # is_done resume: skips if the pack exists
         return
     if phase in ("eval", "heldout-eval"):
@@ -524,7 +525,7 @@ PHASES = ("generate", "train-sif", "train-sn", "train-inf", "track", "eval")
 HELDOUT_PHASES = ("heldout-gen", "heldout-track", "heldout-eval")
 
 
-def main():
+def build_parser():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="fixture_run")
     ap.add_argument("--frames", type=int, default=90)
@@ -578,7 +579,11 @@ def main():
     ap.add_argument("--phase", choices=PHASES + HELDOUT_PHASES, default=None)
     ap.add_argument("--single-process", action="store_true",
                     help="run all phases in this process (CPU/tests)")
-    args = ap.parse_args()
+    return ap
+
+
+def main():
+    args = build_parser().parse_args()
     rsuf = "" if args.net_preset == "tiny" else f"_{args.net_preset}"
     if args.results is None:
         args.results = f"results/fixture_eval{rsuf}.json"

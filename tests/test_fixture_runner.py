@@ -15,27 +15,35 @@ SCRIPTS = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
                    "scripts")
 
 
-def _runner_args(out, **over):
-    base = dict(out=out, frames=2, raster=64, net_size=64, crop_size=256,
-                chunk_size=2, sif_epochs=1, sif_samples=64, grid_ratio=0.15,
-                results=osp.join(out, "res.json"),
-                heldout_results=osp.join(out, "res_ho.json"),
-                heldout_motion_seed=1, train_seqs=1, recon_tag="",
-                net_preset="tiny", object_shape="box", collision=False,
-                cpu=True, phase=None, single_process=False)
-    base.update(over)
-    return argparse.Namespace(**base)
-
-
-@pytest.mark.parametrize("tag,collision", [("b7", False), ("coll", True)])
-def test_track_phase_honors_recon_tag_and_collision(tmp_path, monkeypatch,
-                                                    tag, collision):
+def _import_rfe():
     sys.path.insert(0, SCRIPTS)
     try:
         import run_fixture_eval as rfe
     finally:
         sys.path.remove(SCRIPTS)
+    return rfe
 
+
+def _runner_args(out, **over):
+    # Build from the script's OWN parser so every flag (present and future)
+    # carries its real default — a Namespace literal here rots the moment a
+    # flag is added to the runner (the round-3 --ocent regression).
+    args = _import_rfe().build_parser().parse_args([
+        "--out", out, "--frames", "2", "--raster", "64", "--net-size", "64",
+        "--crop-size", "256", "--chunk-size", "2", "--sif-epochs", "1",
+        "--sif-samples", "64",
+        "--results", osp.join(out, "res.json"),
+        "--heldout-results", osp.join(out, "res_ho.json"), "--cpu"])
+    for k, v in over.items():
+        assert hasattr(args, k), k
+        setattr(args, k, v)
+    return args
+
+
+@pytest.mark.parametrize("tag,collision", [("b7", False), ("coll", True)])
+def test_track_phase_honors_recon_tag_and_collision(tmp_path, monkeypatch,
+                                                    tag, collision):
+    rfe = _import_rfe()
     args = _runner_args(str(tmp_path), recon_tag=tag, collision=collision,
                         phase="track")
     captured = {}
@@ -52,3 +60,16 @@ def test_track_phase_honors_recon_tag_and_collision(tmp_path, monkeypatch,
     # tiny preset has no _preset suffix, so the tag is the whole suffix
     assert captured["out"] == osp.join(str(tmp_path), f"recon_{tag}")
     assert captured["collision"] is collision
+
+
+def test_track_phase_forwards_ocent(tmp_path, monkeypatch):
+    rfe = _import_rfe()
+    args = _runner_args(str(tmp_path), ocent=0.25, phase="track")
+    captured = {}
+
+    import vistracker_tpu.cli.real_track as rt
+    monkeypatch.setattr(
+        rt, "run_real_track",
+        lambda targs: captured.setdefault("ocent", targs.ocent))
+    rfe.run_phase(args)
+    assert captured["ocent"] == pytest.approx(0.25)
