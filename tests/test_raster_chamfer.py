@@ -103,3 +103,55 @@ def test_nearest_index(rng):
     np.testing.assert_array_equal(np.asarray(idx), dmat.argmin(-1))
     np.testing.assert_allclose(np.asarray(d), (dmat.min(-1)) ** 2, rtol=1e-3,
                                atol=1e-5)
+
+
+def test_soft_silhouette_no_ghost_rays():
+    """An edge-on (collinear-projected) face must render as a hairline on
+    its own segment, NOT a 0.5-intensity ray across the whole image: the
+    endpoint-cap planes (_face_planes) clip the min-of-edge-lines sdf,
+    which otherwise stays ~0 along the face's infinite support line.
+    Generic during tracking — any box face sweeps through edge-on
+    (reference neural_renderer via recon/obj_pose_roi.py:183-202 is a
+    rasterizer and has no such failure mode)."""
+    size = 64
+    # collinear sliver on the horizontal midline, segment x in [-0.3, 0.0]
+    v = jnp.asarray([[-0.3, 0.0], [0.0, 0.0], [-0.15, 1e-5]], jnp.float32)
+    f = jnp.asarray([[0, 1, 2]], jnp.int32)
+    img = np.asarray(soft_silhouette(v, f, size, sigma=2.0 / size))
+    row = size // 2  # nearest row to y=0 sits at |y| ~ sigma/2
+    # on-segment pixels read ~sigmoid(-1/2) = 0.38 (hairline half-pixel off)
+    xs = np.linspace(-1.0, 1.0, size)
+    on = (xs >= -0.28) & (xs <= -0.02)
+    assert img[row, on].min() > 0.3
+    # beyond the endpoints along the same line: dead, not a ray
+    beyond = (xs > 0.15) | (xs < -0.45)
+    assert img[row, beyond].max() < 0.05, img[row, beyond].max()
+    # and off the line entirely
+    assert img[row + 8].max() < 0.05
+
+
+def test_soft_silhouette_smooth_under_subpixel_motion():
+    """Sub-pixel translations of a mesh with exactly-degenerate faces (a
+    lat-long sphere's pole ring) must change the image smoothly: the old
+    absolute 1e-12 area cut sat below fp32 noise, so degenerate faces
+    flickered in and out and splattered garbage (+-0.4 jumps for sub-mm
+    moves — the round-4 stage-6 diagnostic that exposed this)."""
+    th = np.linspace(0, np.pi, 9)
+    ph = np.linspace(0, 2 * np.pi, 13)
+    tt, pp = np.meshgrid(th, ph, indexing="ij")
+    verts = 0.4 * np.stack([np.sin(tt) * np.cos(pp),
+                            np.sin(tt) * np.sin(pp)], -1).reshape(-1, 2)
+    idx = np.arange(9 * 13).reshape(9, 13)
+    quads = np.stack([idx[:-1, :-1], idx[1:, :-1], idx[1:, 1:],
+                      idx[:-1, 1:]], -1).reshape(-1, 4)
+    faces = jnp.asarray(np.concatenate(
+        [quads[:, [0, 1, 2]], quads[:, [0, 2, 3]]]).astype(np.int32))
+    size = 32
+    prev = None
+    for dx in np.linspace(0.0, 2.0 / size, 9):  # one pixel, 8 substeps
+        img = np.asarray(soft_silhouette(
+            jnp.asarray(verts + np.array([dx, 0.0], np.float32)),
+            faces, size, sigma=2.0 / size))
+        if prev is not None:
+            assert np.abs(img - prev).max() < 0.15, dx
+        prev = img

@@ -9,7 +9,8 @@ value_and_grad of the sil-phase loss at release sizes (B=8, 2.5k faces,
 (scripts/bench_sil_phase.py; PERF_NOTES round 2).
 
 This kernel keeps everything in VMEM: a (face-block, row-strip) cell
-computes e_i = a*px + b*py + c for the 3 edges (VPU broadcast FMA) and
+computes e_i = a*px + b*py + c for the _NPL face planes (3 edges + 2
+longest-edge caps; VPU broadcast FMA) and
 min-reduces them, with HBM traffic O(F + P) instead of O(F*P). Three
 algorithmic moves on top of the round-2 kernel (PERF_NOTES round 3):
 
@@ -33,17 +34,16 @@ algorithmic moves on top of the round-2 kernel (PERF_NOTES round 3):
      is a conservative interval bound on m itself,
      max_strip m <= min_edges max_box (a x + b y + c)
                   = min_edges (|a| + b y* + c),
-     NOT a bounding-box apron: a thin sliver's soft silhouette leaks
-     along its edge-line direction arbitrarily far from the face (all
-     three edge lines nearly coincide, so m stays near 0 along the
-     line), and the bound keeps exactly the strips such ghost rays
-     cross. Real template meshes (compact faces) cull 60-80% of cells;
-     the giant-triangle parity-test scenes cull nothing and stay
-     bit-exact.
+     NOT a bounding-box apron. The endpoint-cap planes
+     (rasterizer._face_planes) clip the old unbounded sliver "ghost
+     rays", which both fixes the rendered values and lets this bound
+     cull the strips those rays used to keep live. Real template meshes
+     (compact faces) cull 60-80% of cells; the giant-triangle
+     parity-test scenes cull nothing and stay bit-exact.
 
 Layout notes (Mosaic rejects general vector shape casts, e.g. the
 1D->3D reshape a `c[:, None, None]` broadcast emits):
-  * every in-kernel tensor is rank 2 — coefficients live as (fblk, 9)
+  * every in-kernel tensor is rank 2 — coefficients live as (fblk, _CW)
     so a lane slice `ct[:, k:k+1]` yields a native (fblk, 1) column;
   * pixel rows are processed as (fblk, size) tiles, one image row per
     step of a STATIC _RBLK-row unroll, with keepdims reductions and 2D
@@ -52,7 +52,7 @@ Layout notes (Mosaic rejects general vector shape casts, e.g. the
     resident in SMEM, read as a scalar per grid cell.
 
 Gradient conventions vs the XLA path:
-  * min over the 3 edges: cotangent split equally among exact ties
+  * min over the _NPL planes: cotangent split equally among exact ties
     (matches jnp.min's vjp).
   * max over faces: cotangent split equally among all faces tied at the
     pixel max (matches jnp.max's vjp). Ties are NOT measure-zero here:
@@ -82,6 +82,9 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 1e9
 _FBLK = 128  # faces per grid cell
 _RBLK = 8    # image rows per grid cell (static in-kernel unroll)
+_NPL = 5     # planes per face: 3 edge lines + 2 longest-edge endpoint
+             # caps (ghost-ray clipping — rasterizer._face_planes)
+_CW = 3 * _NPL  # coefficient columns per face
 # faces farther than this many sigmas from every pixel of a row strip are
 # culled: sigmoid(-20) ~ 2e-9 can move neither the max nor the gradient
 # above fp32 noise.
@@ -89,25 +92,28 @@ _CUT_SIGMAS = 20.0
 
 
 def _row_tiles(r_idx, ct, size: int):
-    """Yield (r, px, e0, e1, e2, m) for each of the _RBLK rows of row
-    strip r_idx. ct is the (fblk, 9) coefficient tile; px is (1, size);
-    everything else (fblk, size). Shared by the forward and backward
-    kernels so recomputed logits match the saved maxima bitwise."""
+    """Yield (r, px, planes, m) for each of the _RBLK rows of row strip
+    r_idx. ct is the (fblk, 3 * _NPL) coefficient tile; px is (1, size);
+    planes a tuple of _NPL (fblk, size) plane values, m their min. Shared
+    by the forward and backward kernels so recomputed logits match the
+    saved maxima bitwise."""
     col = jax.lax.broadcasted_iota(jnp.int32, (1, size), 1)
     scale = 2.0 / (size - 1)
     px = col.astype(jnp.float32) * scale - 1.0
     for r in range(_RBLK):
         py = (r_idx * _RBLK + r).astype(jnp.float32) * scale - 1.0
 
-        def edge(j):
+        def plane(j):
             a = ct[:, 3 * j + 0:3 * j + 1]   # (fblk, 1)
             b = ct[:, 3 * j + 1:3 * j + 2]
             c = ct[:, 3 * j + 2:3 * j + 3]
             return a * px + (b * py + c)      # (fblk, size)
 
-        e0, e1, e2 = edge(0), edge(1), edge(2)
-        m = jnp.minimum(jnp.minimum(e0, e1), e2)
-        yield r, px, e0, e1, e2, m
+        es = tuple(plane(j) for j in range(_NPL))
+        m = es[0]
+        for e in es[1:]:
+            m = jnp.minimum(m, e)
+        yield r, px, es, m
 
 
 def _fwd_kernel(mask_ref, c_ref, m_ref, cnt_ref, *, size: int,
@@ -125,7 +131,7 @@ def _fwd_kernel(mask_ref, c_ref, m_ref, cnt_ref, *, size: int,
 
     @pl.when(mask_ref[b_idx * n_strips + r_idx, f_idx] != 0)
     def _():
-        for r, _, _, _, _, m in _row_tiles(r_idx, c_ref[0], size):
+        for r, _, _, m in _row_tiles(r_idx, c_ref[0], size):
             bm = jnp.max(m, axis=0, keepdims=True)            # (1, size)
             bc = jnp.sum((m == bm).astype(jnp.float32), axis=0,
                          keepdims=True)
@@ -138,7 +144,7 @@ def _fwd_kernel(mask_ref, c_ref, m_ref, cnt_ref, *, size: int,
 
 def _bwd_kernel(mask_ref, c_ref, m_ref, gw_ref, dc_ref, *, size: int,
                 n_strips: int):
-    """Grid (B, n_fblocks, n_strips); dc (1, fblk, 9) revisited over r.
+    """Grid (B, n_fblocks, n_strips); dc (1, fblk, _CW) revisited over r.
     gw is the per-pixel cotangent already divided by the tie count; the
     kernel recomputes the logits, selects winners by bitwise comparison
     with the saved max, splits equally among tied edges (jnp.min vjp)
@@ -152,30 +158,31 @@ def _bwd_kernel(mask_ref, c_ref, m_ref, gw_ref, dc_ref, *, size: int,
 
     @pl.when(mask_ref[b_idx * n_strips + r_idx, f_idx] != 0)
     def _():
-        acc = [jnp.zeros((_FBLK, 1), jnp.float32) for _ in range(9)]
-        for r, px, e0, e1, e2, m in _row_tiles(r_idx, c_ref[0], size):
+        acc = [jnp.zeros((_FBLK, 1), jnp.float32) for _ in range(_CW)]
+        for r, px, es, m in _row_tiles(r_idx, c_ref[0], size):
             win = (m == m_ref[0, r:r + 1, :]).astype(jnp.float32)
             gm = gw_ref[0, r:r + 1, :] * win
-            # equal split among tied edges (jnp.min vjp convention)
-            t0 = (e0 == m).astype(jnp.float32)
-            t1 = (e1 == m).astype(jnp.float32)
-            t2 = (e2 == m).astype(jnp.float32)
-            gm = gm / (t0 + t1 + t2)
+            # equal split among tied planes (jnp.min vjp convention)
+            ts = [(e == m).astype(jnp.float32) for e in es]
+            den = ts[0]
+            for t in ts[1:]:
+                den = den + t
+            gm = gm / den
             py = (r_idx * _RBLK + r).astype(jnp.float32) \
                 * (2.0 / (size - 1)) - 1.0
-            for j, tj in enumerate((t0, t1, t2)):
+            for j, tj in enumerate(ts):
                 de = gm * tj                                  # (fblk, size)
                 dsum = jnp.sum(de, axis=1, keepdims=True)     # (fblk, 1)
                 acc[3 * j + 0] += jnp.sum(de * px, axis=1, keepdims=True)
                 acc[3 * j + 1] += dsum * py
                 acc[3 * j + 2] += dsum
-        dc_ref[0] = dc_ref[0] + jnp.concatenate(acc, axis=1)  # (fblk, 9)
+        dc_ref[0] = dc_ref[0] + jnp.concatenate(acc, axis=1)  # (fblk, _CW)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _max_logit(cpl: jax.Array, active: jax.Array, size: int,
                interpret: bool) -> jax.Array:
-    """(B, F', 9) coefficient planes + (B*n_strips, n_fblocks) int32
+    """(B, F', _CW) coefficient planes + (B*n_strips, n_fblocks) int32
     active mask -> (B, size, size) per-pixel max signed distance."""
     return _ml_fwd(cpl, active, size, interpret)[0]
 
@@ -191,7 +198,7 @@ def _ml_fwd(cpl, active, size, interpret):
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, _FBLK, 9), lambda b, r, f: (b, f, 0)),
+            pl.BlockSpec((1, _FBLK, _CW), lambda b, r, f: (b, f, 0)),
         ],
         out_specs=[img_spec, img_spec],
         out_shape=[jax.ShapeDtypeStruct((B, size, size), jnp.float32),
@@ -208,7 +215,8 @@ def _ml_bwd(size, interpret, res, g):
     # equal split among faces tied at the max (cnt >= 1 wherever a
     # winner exists)
     gw = g.astype(jnp.float32) / jnp.maximum(cnt, 1.0)
-    coeff_spec_b = pl.BlockSpec((1, _FBLK, 9), lambda b, f, r: (b, f, 0))
+    coeff_spec_b = pl.BlockSpec((1, _FBLK, _CW),
+                                lambda b, f, r: (b, f, 0))
     img_spec_b = pl.BlockSpec((1, _RBLK, size), lambda b, f, r: (b, r, 0))
     dc = pl.pallas_call(
         functools.partial(_bwd_kernel, size=size, n_strips=n_strips),
@@ -216,7 +224,7 @@ def _ml_bwd(size, interpret, res, g):
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), coeff_spec_b,
                   img_spec_b, img_spec_b],
         out_specs=coeff_spec_b,
-        out_shape=jax.ShapeDtypeStruct((B, F, 9), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, F, _CW), jnp.float32),
         interpret=interpret,
     )(active, cpl, m, gw)
     return (dc, None)
@@ -283,23 +291,22 @@ def soft_silhouette_batch(v2d: jax.Array, faces: jax.Array,
 
 def _planes(v2d: jax.Array, faces: jax.Array, want_ybounds: bool = False):
     """(B, V, 2) NDC verts + (F, 3) faces -> y-sorted, padded, normalized
-    coefficient planes (B, F', 9), F' a _FBLK multiple; each row holds the
-    3 inside-positive signed-distance edge functions of one face and dead
-    (degenerate / padding) rows read [0, 0, -BIG]. With want_ybounds also
-    returns the matching sorted/padded per-face y intervals (ymin, ymax),
-    dead rows reading the empty interval (+BIG, -BIG)."""
-    from .rasterizer import _edge_coeffs
+    coefficient planes (B, F', _CW), F' a _FBLK multiple; each row holds
+    the _NPL inside-positive planes of one face (3 signed edge-line
+    distances + 2 longest-edge endpoint caps — rasterizer._face_planes)
+    and dead (degenerate / padding) rows read [0, 0, -BIG] per plane.
+    With want_ybounds also returns the matching sorted/padded per-face y
+    intervals (ymin, ymax), dead rows reading the empty interval
+    (+BIG, -BIG)."""
+    from .rasterizer import _face_planes
 
-    coeffs, lengths, orient, nondeg = jax.vmap(
-        lambda v: _edge_coeffs(v, faces))(v2d)
-    # signed distance to each edge line, inside-positive
-    coeffs = coeffs * (orient[..., None, None] / lengths[..., None])
+    coeffs, nondeg = jax.vmap(lambda v: _face_planes(v, faces))(v2d)
     # invalid faces -> e = -BIG everywhere (sigmoid 0, zero gradient)
     dead = jnp.asarray([0.0, 0.0, -_BIG], jnp.float32)
     coeffs = jnp.where(nondeg[..., None, None], coeffs,
                        jnp.broadcast_to(dead, coeffs.shape))
     B, F = coeffs.shape[:2]
-    cpl = coeffs.reshape(B, F, 9)                             # (B, F, 9)
+    cpl = coeffs.reshape(B, F, _CW)                           # (B, F, _CW)
 
     # y-sort so each face block spans a narrow y band (tight block-level
     # liveness OR); dead faces sort last

@@ -67,8 +67,63 @@ def _edge_coeffs(v2d: jax.Array, faces: jax.Array):
     # twice signed area = e0 evaluated at c
     area2 = (e0 * jnp.stack([c[:, 0], c[:, 1], jnp.ones_like(c[:, 0])], -1)).sum(-1)
     orient = jnp.sign(area2)
-    nondegenerate = jnp.abs(area2) > 1e-12
+    # SCALE-AWARE degeneracy cut. fp32 roundoff in area2 is ~1e-7 * Lmax
+    # for O(1) NDC coordinates, so the old absolute 1e-12 threshold sat
+    # BELOW the noise floor: exactly-degenerate faces (coincident or
+    # collinear vertices — a box face seen edge-on, a lat-long sphere's
+    # pole ring) flickered across it frame to frame, and the survivors'
+    # normalized coefficients are pure roundoff that splats garbage over
+    # the image (observed: +-0.4 intensity jumps for sub-mm vertex moves).
+    # The linear + quadratic terms keep ~10x margin over the noise in both
+    # the small-face and large-face regimes; real sliver faces (height
+    # >= ~1e-4 of their length) stay comfortably above it.
+    lmax = jnp.max(lengths, axis=1)
+    nondegenerate = jnp.abs(area2) > 1e-6 * (lmax + lmax * lmax)
     return coeffs, lengths, orient, nondegenerate
+
+
+def _face_planes(v2d: jax.Array, faces: jax.Array):
+    """Normalized inside-positive face planes (F, 5, 3) + validity (F,).
+
+    Rows 0-2: the edge LINES as unit-normal signed distances (inside
+    positive). Rows 3-4: endpoint CAPS of the longest edge — unit-normal
+    half-planes through its two endpoints, perpendicular to it, facing
+    the segment. min over the 5 rows is a clipped signed distance:
+
+      * EXACT inside any valid triangle: every interior point projects
+        onto the longest side within the segment (the feet of the two
+        opposite vertices lie inside it because the adjacent sides are
+        <= the longest), so the caps are >= the edge-line min there and
+        never bind — adding them changes no interior value.
+      * BOUNDED outside: with edge lines alone, a near-collinear face's
+        three lines nearly coincide and min-of-lines stays ~0 along the
+        whole INFINITE line — a "ghost ray" painting sigmoid(0) = 0.5
+        across the image far from the face (generic during tracking:
+        any box face sweeps through edge-on). The caps clip the positive
+        region to the face's true support; a collinear face renders as
+        the correct 0.5 hairline on its own segment, continuously in its
+        vertices. (The reference's rasterizing renderer, neural_renderer
+        via recon/obj_pose_roi.py:183-202, has no ghost-ray mode; this
+        restores that property in the min-of-linear formulation.)
+
+    Keeping everything min-of-LINEAR preserves the (F, 5) @ (3, P) matmul
+    structure and the Pallas kernel's interval culling bound unchanged.
+    """
+    coeffs, lengths, orient, nondeg = _edge_coeffs(v2d, faces)
+    planes = coeffs * (orient[:, None, None] / lengths[..., None])
+    pts = v2d[faces]                              # (F, 3, 2) = a, b, c
+    ends = jnp.roll(pts, -1, axis=1)              # b, c, a
+    f_idx = jnp.arange(faces.shape[0])
+    j = jnp.argmax(lengths, axis=1)               # longest edge per face
+    p0 = pts[f_idx, j]                            # (F, 2)
+    p1 = ends[f_idx, j]
+    u = (p1 - p0) / jnp.max(lengths, axis=1, keepdims=True)
+    # caps are winding-independent: u.(p - p0) >= 0 and u.(p1 - p) >= 0
+    # exactly on the segment's orthogonal strip
+    cap0 = jnp.concatenate([u, -(u * p0).sum(-1, keepdims=True)], -1)
+    cap1 = jnp.concatenate([-u, (u * p1).sum(-1, keepdims=True)], -1)
+    planes = jnp.concatenate([planes, cap0[:, None], cap1[:, None]], 1)
+    return planes, nondeg
 
 
 def _face_chunks(faces: np.ndarray, chunk: int):
@@ -93,9 +148,8 @@ def rasterize_mask(v2d: jax.Array, faces: jax.Array, size: int = 512,
     pad = (-F) % chunk
     faces_p = jnp.pad(faces, ((0, pad), (0, 0)))
     valid = jnp.pad(jnp.ones((F,), bool), (0, pad))
-    coeffs, _, orient, nondeg = _edge_coeffs(v2d, faces_p)
+    coeffs, nondeg = _face_planes(v2d, faces_p)
     valid = valid & nondeg  # zero-area faces would cover everything
-    coeffs = coeffs * orient[:, None, None]
     n_chunks = faces_p.shape[0] // chunk
 
     def body(i, mask):
@@ -131,12 +185,12 @@ def soft_silhouette(v2d: jax.Array, faces: jax.Array, size: int = 256,
     pad = (-F) % chunk
     faces_p = jnp.pad(faces, ((0, pad), (0, 0)))
     valid = jnp.pad(jnp.ones((F,), bool), (0, pad))
-    coeffs, lengths, orient, nondeg = _edge_coeffs(v2d, faces_p)
+    # 5 planes/face: 3 signed edge-line distances + 2 longest-edge caps
+    # (ghost-ray clipping — see _face_planes)
+    coeffs, nondeg = _face_planes(v2d, faces_p)
     valid = valid & nondeg
-    # normalize -> signed distance to edge line, oriented inside-positive
-    coeffs = coeffs * (orient[:, None, None] / lengths[..., None])
     n_chunks = faces_p.shape[0] // chunk
-    coeffs_c = coeffs.reshape(n_chunks, chunk, 3, 3)
+    coeffs_c = coeffs.reshape(n_chunks, chunk, 5, 3)
     valid_c = valid.reshape(n_chunks, chunk)
 
     @jax.checkpoint
