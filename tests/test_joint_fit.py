@@ -444,3 +444,63 @@ def test_ocent_term_live(rng):
     d_anchor = np.linalg.norm(t_anchor - t_init, axis=-1).mean()
     assert d_off > 0.02, d_off          # parity path moves off the init
     assert d_anchor < d_off * 0.2, (d_off, d_anchor)  # anchor holds it
+
+
+def test_term_probe_gradient_attribution(rng):
+    """term_probe (the stage-6 translation-attribution diagnostic,
+    scripts/ablate_stage6_terms.py): on the analytic sphere scene with the
+    object displaced from GT, the df term's descent direction must point
+    TOWARD the GT center (positive pull), and every reported gradient must
+    match a finite-difference of its weighted term."""
+    verts_t, faces_t = _sphere_mesh()
+    pts = jnp.asarray(verts_t[None].repeat(B, 0))
+    cfg = JointFitConfig(sil_size=32, sil_sigma=1 / 16.0)
+    opt = make_object_optimizer(sphere_query_fn, project_px, cfg)
+
+    roi = np.tile(np.array([[700.0, 500.0, 700.0]], np.float32), (B, 1))
+    ref = soft_silhouette(
+        jnp.asarray(2.0 * (np.asarray(project_px(points=jnp.asarray(
+            verts_t + OBJ_CENTER_GT)[None]))[0] - roi[0, :2])
+            / roi[0, 2] - 1.0),
+        jnp.asarray(faces_t), 32, 1 / 16.0)
+    sil = SilRefs(image_ref=jnp.broadcast_to(ref, (B,) + ref.shape),
+                  keep_mask=jnp.ones((B, 32, 32)),
+                  roi_xyb=jnp.asarray(roi))
+    off = np.array([0.15, -0.1, 0.1], np.float32)
+    params = {"obj_r": jnp.broadcast_to(jnp.eye(3), (B, 3, 3)),
+              "obj_t": jnp.asarray(np.tile(OBJ_CENTER_GT + off, (B, 1)))}
+    smpl_verts = jnp.asarray(HUM_CENTER + HUM_RADIUS
+                             * _sphere_mesh(r=1.0)[0][None].repeat(B, 0))
+    env = dict(obj_points=pts, obj_s=jnp.ones(B), occ=jnp.ones(B),
+               ctx=None, smpl_verts=smpl_verts,
+               labels_h=jnp.asarray(np.full(verts_t.shape[0], 11,
+                                            np.int32)),
+               labels_o=jnp.full(pts.shape[:2], 11, jnp.int32),
+               mask_h=jnp.ones(smpl_verts.shape[:2], bool),
+               mask_o=jnp.ones(pts.shape[:2], bool),
+               sil=sil, sil_verts=pts, sil_faces=jnp.asarray(faces_t),
+               ocent_target=params["obj_t"])
+    res = opt.term_probe(params, env)
+    assert {"object", "mask", "contact", "ocent"} <= set(res)
+    d = -off / np.linalg.norm(off)  # unit direction toward GT
+    val_obj, g_obj = res["object"]
+    pull = -(np.asarray(g_obj) * d).sum(1)
+    assert (pull > 0).all(), pull  # df descent points toward the GT sphere
+    # ocent at the anchor point: zero value, zero gradient
+    val_oc, g_oc = res["ocent"]
+    np.testing.assert_allclose(np.asarray(g_oc), 0.0, atol=1e-6)
+    # every grad matches a central finite difference of its term
+    for name, (val, g) in res.items():
+        e = np.zeros((B, 3), np.float32)
+        e[0, 0] = 1e-3
+
+        def term_at(t):
+            env2 = dict(env)
+            r2 = opt.term_probe({"obj_r": params["obj_r"],
+                                 "obj_t": jnp.asarray(t)}, env2)
+            return float(r2[name][0])
+
+        t0 = np.asarray(params["obj_t"])
+        fd = (term_at(t0 + e) - term_at(t0 - e)) / 2e-3
+        np.testing.assert_allclose(float(np.asarray(g)[0, 0]), fd,
+                                   rtol=0.05, atol=1e-4, err_msg=name)

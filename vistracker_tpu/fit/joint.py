@@ -715,6 +715,68 @@ def make_object_optimizer(query_fn, project_px,
     min_j = max(0.0, cfg.early_stop_min_frac * cfg.joint_max_iter
                 - (cfg.iter_obj + cfg.iter_sil))
 
+    def _all_terms(p, env):
+        """Every obj_t-coupled stage-6 object term, WEIGHTED, as a dict of
+        scalars. Diagnostic surface (scripts/ablate_stage6_terms.py): joint-
+        phase terms always; the phase-2 sil term when env carries sil refs;
+        contact when env carries the frozen masks; collision when env
+        carries an sdf_grid. decay is taken as 0 (weights at their base
+        values) — per-term attribution, not an optimizer step."""
+        obj, r = transformed(p, env)
+        terms = {}
+        preds = query_fn(env["ctx"], obj)
+        obj_losses(obj, preds, env["obj_s"], env["occ"], terms)
+        if "ocent_target" in env:
+            # computed unconditionally (ocent_loss gates on cfg.w_ocent;
+            # the probe reports the pull even for w_ocent=0 runs)
+            d2 = ((obj.mean(1) - env["ocent_target"]) ** 2).sum(-1)
+            terms["ocent"] = (d2 * env["occ"]).mean()
+        temporal(obj, True, terms)
+        if "labels_o" in env:
+            terms["contact"] = contact_loss(
+                obj, env["smpl_verts"], env["labels_h"], env["labels_o"],
+                env["mask_h"], env["mask_o"])
+        if "sil" in env:
+            terms["mask"] = sil_loss(env["ctx"], r, p["obj_t"],
+                                     env["obj_s"], env["sil"],
+                                     env["sil_verts"], env["sil_faces"],
+                                     env["occ"])
+        if "sdf_grid" in env:
+            r_t = jnp.swapaxes(r, -1, -2)
+            local = jnp.einsum(
+                "bnk,bkj->bnj",
+                env["smpl_verts"] / env["obj_s"][:, None, None]
+                - p["obj_t"][:, None, :],
+                r_t, precision=jax.lax.Precision.HIGHEST)
+            terms["collide"] = penetration_loss(env["sdf_grid"], local)
+        w = dict(object=cfg.w_object, otemp=cfg.w_otemp,
+                 ovtemp=cfg.w_ovtemp, mask=cfg.w_mask,
+                 contact=cfg.w_contact, collide=cfg.w_collide,
+                 ocent=max(cfg.w_ocent, 1.0))  # probe ocent even when the
+        # run's weight is 0 (the whole point is measuring its pull before
+        # enabling it); reported at weight max(w_ocent, 1)
+        return {k: terms[k] * w[k] for k in terms if k in w}
+
+    def term_probe(params, env):
+        """Per-term value + per-frame gradient w.r.t. obj_t.
+
+        Returns {term: (scalar value, (B,3) grad)}. The gradient of the
+        WHOLE weighted term w.r.t. each frame's translation — for coupled
+        terms (temporal, contact's flat pair mean) this is the true
+        per-frame pull including cross-frame coupling. A term helps frame
+        i's translation iff -grad[i] points toward the GT direction.
+        Callers may jax.jit(term_probe) — names are resolved via
+        eval_shape, so tracing stays cheap."""
+        names = sorted(jax.eval_shape(_all_terms, params, env))
+
+        def one(name):
+            return jax.value_and_grad(
+                lambda t: _all_terms(
+                    {"obj_r": params["obj_r"], "obj_t": t}, env)[name]
+            )(params["obj_t"])
+
+        return {n: one(n) for n in names}
+
     if segment_iters:
         run1 = _make_phase_stepper(loss_obj_env, lrs_1, spi, decay1, 0.0)
         run2 = _make_phase_stepper(loss_sil_env, lrs_2, spi, decay2, 0.0)
@@ -780,6 +842,7 @@ def make_object_optimizer(query_fn, project_px,
             return out
 
         optimize_object_segmented.cost_probe = _cost_probe
+        optimize_object_segmented.term_probe = term_probe
         return optimize_object_segmented
 
     @jax.jit
@@ -821,4 +884,5 @@ def make_object_optimizer(query_fn, project_px,
         return out + ({"joint": it_j, "joint_max": cfg.joint_max_iter},) \
             if report_iters else out
 
+    optimize_object.term_probe = term_probe
     return optimize_object
