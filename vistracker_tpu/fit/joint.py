@@ -301,6 +301,21 @@ def _make_phase_stepper(loss_fn, lrs: dict, steps_per_iter: int, decay_fn,
         prev = jnp.float32(300.0)
         it = jnp.int32(0)
         done = jnp.asarray(False)
+        if rel_tol == 0:
+            # fixed budget: `done` is constant-False inside advance, so
+            # the segment count is static — dispatch the whole chain
+            # WITHOUT host syncs (JAX async dispatch queues the
+            # programs; each stays under the tunnel's per-execution
+            # limit). The old `while int(it) < ...` loop forced a
+            # blocking device->host round-trip per segment, which at
+            # ~300 segments/chunk was the dominant stage-6 wall-clock
+            # overhead (PERF_NOTES round 3: 36.7 s wall vs ~14-19 s
+            # device-sum at B=8).
+            for _ in range(-(-max_iters // seg)):
+                params, state, prev, it, done = advance(
+                    params, state, prev, it, done, env,
+                    jnp.int32(max_iters), jnp.float32(min_iters), seg)
+            return params, prev, it
         while int(it) < max_iters and not bool(done):
             params, state, prev, it, done = advance(
                 params, state, prev, it, done, env,
