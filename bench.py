@@ -165,6 +165,20 @@ def bench_sifnet_and_stage6(jnp, jax, floor_s, do_stage4=True,
         out["stage4_generate_ms_per_frame"] = (
             (time.perf_counter() - t0 - floor_s) / Bg * 1000.0)
 
+        # round-4 funnel harvest (--fast-gen): same final point budget,
+        # ~2.6x fewer gather rows (the measured cost axis of the query
+        # path — PERF_NOTES round 2)
+        from vistracker_tpu.fit.generator import FUNNEL_DEFAULT
+        gen_f = make_generator(sifnet_query_fn(model),
+                               GeneratorConfig(funnel=FUNNEL_DEFAULT))
+        _fetch(gen_f(params, cache_e, cc, bc,
+                     jax.random.PRNGKey(2))["object"]["centers"])
+        t0 = time.perf_counter()
+        _fetch(gen_f(params, cache_e, cc, bc,
+                     jax.random.PRNGKey(3))["object"]["centers"])
+        out["stage4_generate_funnel_ms_per_frame"] = (
+            (time.perf_counter() - t0 - floor_s) / Bg * 1000.0)
+
         # stage-3 analog: batched triplane mask render of Bg SMPL meshes
         # (the other per-frame input producer feeding the encoder). The
         # mesh is a deformed sphere grid — compact connected faces like a

@@ -54,6 +54,36 @@ def test_generator_projects_to_sphere():
         np.testing.assert_array_equal(np.asarray(o["parts"]), 13)
 
 
+def test_generator_funnel_projects_to_sphere():
+    """The row-budget funnel path must harvest the same surface (and the
+    same exact masked means) as the reference-budget scan path."""
+    cfg = GeneratorConfig(num_points=192, noise_sigma=0.05,
+                          funnel=((512, 256, 10), (256, 128, 6)))
+    gen = make_generator(sphere_query_fn, cfg)
+    B = 2
+    body_center = jnp.asarray(np.tile(CENTER, (B, 1)))
+    crop_center = jnp.zeros((B, 2))
+    out = gen(None, None, crop_center, body_center, jax.random.PRNGKey(0))
+    for target in ("human", "object"):
+        o = out[target]
+        assert o["points"].shape == (B, 192, 3)
+        valid = np.asarray(o["valid"])
+        assert valid.mean() > 0.5, valid.mean()
+        pts = np.asarray(o["points"])
+        r = np.linalg.norm(pts - CENTER, axis=-1)
+        err = np.abs(r - RADIUS)[valid]
+        assert err.max() < cfg.filter_val + 1e-4, err.max()
+        np.testing.assert_allclose(np.asarray(o["pca_axis"]),
+                                   np.broadcast_to(np.eye(3), (B, 3, 3)),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(o["centers"]),
+                                   np.tile([[1.0, 2.0, 3.0]], (B, 1)),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(o["visibility"]), 0.75,
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(o["parts"]), 13)
+
+
 def test_init_box_bounds():
     cfg = GeneratorConfig()
     bc = jnp.asarray([[0.0, 0.0, 2.2]])

@@ -402,6 +402,11 @@ def build_parser():
                     help="median (instead of reference mean) aggregation "
                          "of neural object centers/pca over surface points "
                          "— robust to spurious low-df pockets of weak nets")
+    tr.add_argument("--fast-gen", action="store_true",
+                    help="stage-4 funnel harvest (generator.FUNNEL_DEFAULT):"
+                         " each round prefilters candidates with one cheap "
+                         "df eval and projects only the survivors — ~2.6x "
+                         "fewer gather rows at the same final point budget")
     tr.add_argument("--cache-dtype", choices=("float32", "bfloat16"),
                     default="float32",
                     help="SIF-Net feature-cache storage dtype: bfloat16 "

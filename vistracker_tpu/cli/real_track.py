@@ -194,9 +194,11 @@ def run_real_track(args):
         sdf_grid = SDFGrid(jnp.asarray(vals), jnp.asarray(bmin),
                            jnp.asarray(bmax))
         print(f"[vistracker] collision term ON (template SDF grid {res}^3)")
+    from ..fit.generator import FUNNEL_DEFAULT
     gen_cfg = GeneratorConfig(
         center_agg="median" if getattr(args, "robust_centers", False)
-        else "mean")
+        else "mean",
+        funnel=FUNNEL_DEFAULT if getattr(args, "fast_gen", False) else None)
     generate = make_generator(sifnet_query_fn(sifnet), gen_cfg)
     run_infill = make_infiller(infiller, inf_cfg)
     os.makedirs(args.out, exist_ok=True)

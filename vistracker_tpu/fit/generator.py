@@ -37,12 +37,27 @@ class GeneratorConfig:
     noise_sigma: float = 2.0 / 3.0  # threshold / 3 resampling perturbation
     # init box half-extents around body center (generator_triplane.py:32-55)
     box: tuple = (1.0, 1.5, 0.6)
+    # Funnel harvest (round-4 perf): tuple of per-round
+    # (n_candidates, n_keep, proj_steps).  Each round draws/resamples
+    # n_candidates, pays ONE cheap df eval to keep the n_keep most
+    # promising, projects only those, and stores them for the final
+    # top-k.  None -> the reference-budget path below (num_rounds x
+    # samples_per_round x num_steps).  The query path is row-count-bound
+    # gather (PERF_NOTES round 2), so cutting projected rows is the only
+    # lever that moves stage 4; FUNNEL_DEFAULT cuts the per-target row
+    # budget 620k -> ~236k (~2.6x) at an unchanged final point budget.
+    funnel: tuple | None = None
     # center/pca aggregation over harvested surface points. "mean" is the
     # reference (compose_outdict averages); "median" is a robust opt-in for
     # weak nets whose df field has spurious low-df pockets — false surface
     # points then contribute arbitrary center predictions, and the
     # coordinate-wise median rejects them as long as most points are real.
     center_agg: str = "mean"
+
+
+# 20k explore -> project the best 12k; densify 12k from survivors ->
+# project the best 8k.  20k stored candidates >> num_points=4000.
+FUNNEL_DEFAULT = ((20000, 12000, 10), (12000, 8000, 8))
 
 
 def init_box_samples(key, batch_size: int, n: int, body_center: jax.Array,
@@ -90,17 +105,22 @@ def make_generator(query_fn, cfg: GeneratorConfig = GeneratorConfig()):
     # df-only head if the query_fn provides one (sifnet_query_fn.df_only)
     df_fast = getattr(query_fn, "df_only", None)
 
-    def project(params, cache, samples, crop_center, body_center, df_idx):
-        """num_steps iterations of surface projection as a lax.scan."""
+    def df_cheap(params, cache, pts, crop_center, body_center, df_idx):
+        """df value only, through the cheap head when available."""
+        if df_fast is not None:
+            return jnp.minimum(
+                df_fast(params, cache, pts, crop_center,
+                        body_center)[..., df_idx], cfg.df_clamp)
+        return query_df(params, cache, pts, crop_center, body_center,
+                        df_idx)[0]
+
+    def project(params, cache, samples, crop_center, body_center, df_idx,
+                steps=None):
+        """`steps` iterations of surface projection as a lax.scan."""
 
         def df_sum(pts):
-            if df_fast is not None:
-                df = jnp.minimum(
-                    df_fast(params, cache, pts, crop_center,
-                            body_center)[..., df_idx], cfg.df_clamp)
-            else:
-                df, _ = query_df(params, cache, pts, crop_center,
-                                 body_center, df_idx)
+            df = df_cheap(params, cache, pts, crop_center, body_center,
+                          df_idx)
             return df.sum(), df
 
         def step(pts, _):
@@ -109,7 +129,9 @@ def make_generator(query_fn, cfg: GeneratorConfig = GeneratorConfig()):
                 jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-12)
             return pts - g * df[..., None], None
 
-        samples, _ = jax.lax.scan(step, samples, None, length=cfg.num_steps)
+        samples, _ = jax.lax.scan(
+            step, samples, None,
+            length=cfg.num_steps if steps is None else steps)
         return samples
 
     @functools.partial(jax.jit, static_argnames=("df_idx",))
@@ -158,9 +180,13 @@ def make_generator(query_fn, cfg: GeneratorConfig = GeneratorConfig()):
             x = jnp.moveaxis(x, 0, 1)
             return x.reshape((B, -1) + x.shape[3:])
 
-        pts = flat(rounds["points"])
-        valid = flat(rounds["valid"])
-        df = flat(rounds["df"])
+        return _finalize(jax.tree.map(flat, rounds), B)
+
+    def _finalize(pool, B):
+        """Top-k selection + masked aggregation over the harvested pool
+        (dict of (B, total, ...) arrays with points/valid/df/parts/pca/
+        centers/vis)."""
+        valid, df = pool["valid"], pool["df"]
         # rank: valid first, then smallest df
         score = jnp.where(valid, -df, -1e9 - df)
         _, top = jax.lax.top_k(score, cfg.num_points)
@@ -182,18 +208,73 @@ def make_generator(query_fn, cfg: GeneratorConfig = GeneratorConfig()):
             return jnp.where(jnp.isnan(med), 0.0, med)
 
         agg = masked_median if cfg.center_agg == "median" else masked_mean
-        sel_pts = take(pts)
-        sel_parts = jnp.argmax(take(flat(rounds["parts"])), axis=-1)
+        sel_parts = jnp.argmax(take(pool["parts"]), axis=-1)
         return dict(
-            points=sel_pts,
+            points=take(pool["points"]),
             valid=sel_valid,
             parts=sel_parts.astype(jnp.int32),
-            pca_axis=agg(take(flat(rounds["pca"]))),
-            centers=agg(take(flat(rounds["centers"]))),
-            visibility=masked_mean(take(flat(rounds["vis"]))),
+            pca_axis=agg(take(pool["pca"])),
+            centers=agg(take(pool["centers"])),
+            visibility=masked_mean(take(pool["vis"])),
         )
 
+    @functools.partial(jax.jit, static_argnames=("df_idx",))
+    def generate_target_funnel(params, cache, crop_center, body_center,
+                               key, df_idx: int):
+        """Row-budget funnel: each round pays one cheap df eval on its
+        candidates and projects only the n_keep most promising.  Rounds
+        are unrolled (few, static, heterogeneous shapes)."""
+        B = crop_center.shape[0]
+        keys = jax.random.split(key, 3 * len(cfg.funnel) + 1)
+        samples = init_box_samples(keys[0], B, cfg.funnel[0][0],
+                                   body_center, cfg)
+        pools = []
+        for r, (n_cand, n_keep, steps) in enumerate(cfg.funnel):
+            if n_keep < n_cand:
+                df0 = df_cheap(params, cache, samples, crop_center,
+                               body_center, df_idx)
+                _, idx = jax.lax.top_k(-df0, n_keep)
+                samples = jnp.take_along_axis(samples, idx[..., None],
+                                              axis=1)
+            surf = project(params, cache, samples, crop_center,
+                           body_center, df_idx, steps=steps)
+            df, preds = query_df(params, cache, surf, crop_center,
+                                 body_center, df_idx)
+            valid = (df < cfg.filter_val) & (surf[..., 2] > cfg.min_z)
+            vis = preds.get("vis", jnp.ones(df.shape + (1,)))
+            centers = (preds["centers"] if preds["centers"].shape[-1] == 3
+                       else preds["centers"][..., 3:])
+            pools.append(dict(points=surf, valid=valid, df=df,
+                              parts=preds["parts"], pca=preds["pca"],
+                              centers=centers, vis=vis))
+            if r + 1 < len(cfg.funnel):
+                n_next = cfg.funnel[r + 1][0]
+                k1, k2, k3 = keys[3 * r + 1: 3 * r + 4]
+                logits = jnp.where(valid, 0.0, -1e9)
+                any_valid = valid.any(axis=-1, keepdims=True)
+                idx = jax.random.categorical(k1, logits[:, None, :],
+                                             axis=-1, shape=(B, n_next))
+                picked = jnp.take_along_axis(surf, idx[..., None], axis=1)
+                picked = picked + cfg.noise_sigma * jax.random.normal(
+                    k2, picked.shape)
+                fresh = init_box_samples(k3, B, n_next, body_center, cfg)
+                samples = jnp.where(any_valid[..., None], picked, fresh)
+        pool = {k: jnp.concatenate([p[k] for p in pools], axis=1)
+                for k in pools[0]}
+        return _finalize(pool, B)
+
     def generate(params, cache, crop_center, body_center, key):
+        if cfg.funnel is not None:
+            kh, ko = jax.random.split(key)
+            return dict(
+                human=generate_target_funnel(params, cache, crop_center,
+                                             body_center, kh, df_idx=0),
+                object=generate_target_funnel(params, cache, crop_center,
+                                              body_center, ko, df_idx=1),
+            )
+        return _generate_scan(params, cache, crop_center, body_center, key)
+
+    def _generate_scan(params, cache, crop_center, body_center, key):
         kh, ko = jax.random.split(key)
         return dict(
             human=generate_target(params, cache, crop_center, body_center,
