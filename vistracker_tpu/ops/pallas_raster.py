@@ -82,6 +82,8 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 1e9
 _FBLK = 128  # faces per grid cell
 _RBLK = 8    # image rows per grid cell (static in-kernel unroll)
+_XBLK = 128  # pixel columns per grid cell (native lane width); images
+             # narrower than this use a single full-width tile
 _NPL = 5     # planes per face: 3 edge lines + 2 longest-edge endpoint
              # caps (ghost-ray clipping — rasterizer._face_planes)
 _CW = 3 * _NPL  # coefficient columns per face
@@ -89,25 +91,38 @@ _CW = 3 * _NPL  # coefficient columns per face
 # culled: sigmoid(-20) ~ 2e-9 can move neither the max nor the gradient
 # above fp32 noise.
 _CUT_SIGMAS = 20.0
+# _planes sort granularity: faces are bucketed into equal-count y bands of
+# this many face blocks, then x-sorted within each band, so a block is
+# compact in BOTH dimensions and the x-tiled liveness mask can cull the
+# (strip, x-tile) cells its faces cannot reach. 0 = pure y sort.
+_BAND_BLOCKS = 2
 
 
-def _row_tiles(r_idx, ct, size: int):
+def _xblk(size: int) -> int:
+    return min(_XBLK, size)
+
+
+def _row_tiles(r_idx, x_idx, ct, size: int):
     """Yield (r, px, planes, m) for each of the _RBLK rows of row strip
-    r_idx. ct is the (fblk, 3 * _NPL) coefficient tile; px is (1, size);
-    planes a tuple of _NPL (fblk, size) plane values, m their min. Shared
-    by the forward and backward kernels so recomputed logits match the
-    saved maxima bitwise."""
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, size), 1)
+    r_idx restricted to x tile x_idx. ct is the (fblk, 3 * _NPL)
+    coefficient tile; px is (1, xblk); planes a tuple of _NPL
+    (fblk, xblk) plane values, m their min. The y-invariant a*px term is
+    hoisted out of the row unroll (one FMA per plane per row instead of
+    two multiplies). Shared by the forward and backward kernels so
+    recomputed logits match the saved maxima bitwise."""
+    xblk = _xblk(size)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, xblk), 1) \
+        + x_idx * xblk
     scale = 2.0 / (size - 1)
     px = col.astype(jnp.float32) * scale - 1.0
+    axp = tuple(ct[:, 3 * j + 0:3 * j + 1] * px for j in range(_NPL))
     for r in range(_RBLK):
         py = (r_idx * _RBLK + r).astype(jnp.float32) * scale - 1.0
 
         def plane(j):
-            a = ct[:, 3 * j + 0:3 * j + 1]   # (fblk, 1)
-            b = ct[:, 3 * j + 1:3 * j + 2]
+            b = ct[:, 3 * j + 1:3 * j + 2]   # (fblk, 1)
             c = ct[:, 3 * j + 2:3 * j + 3]
-            return a * px + (b * py + c)      # (fblk, size)
+            return axp[j] + (b * py + c)      # (fblk, xblk)
 
         es = tuple(plane(j) for j in range(_NPL))
         m = es[0]
@@ -117,22 +132,23 @@ def _row_tiles(r_idx, ct, size: int):
 
 
 def _fwd_kernel(mask_ref, c_ref, m_ref, cnt_ref, *, size: int,
-                n_strips: int):
-    """Grid (B, n_strips, n_fblocks); m/cnt (1, _RBLK, size) revisited
-    over f. m is the per-pixel max logit, cnt the number of faces tied
-    at it (jnp.max vjp equal-split denominator)."""
-    b_idx, r_idx, f_idx = pl.program_id(0), pl.program_id(1), \
-        pl.program_id(2)
+                n_strips: int, n_xblk: int):
+    """Grid (B, n_strips, n_xblk, n_fblocks); m/cnt (1, _RBLK, xblk)
+    revisited over f. m is the per-pixel max logit, cnt the number of
+    faces tied at it (jnp.max vjp equal-split denominator)."""
+    b_idx, r_idx, x_idx, f_idx = (pl.program_id(0), pl.program_id(1),
+                                  pl.program_id(2), pl.program_id(3))
 
     @pl.when(f_idx == 0)
     def _():
         m_ref[:] = jnp.full_like(m_ref, -_BIG)
         cnt_ref[:] = jnp.zeros_like(cnt_ref)
 
-    @pl.when(mask_ref[b_idx * n_strips + r_idx, f_idx] != 0)
+    @pl.when(mask_ref[b_idx * n_strips + r_idx,
+                      x_idx * pl.num_programs(3) + f_idx] != 0)
     def _():
-        for r, _, _, m in _row_tiles(r_idx, c_ref[0], size):
-            bm = jnp.max(m, axis=0, keepdims=True)            # (1, size)
+        for r, _, _, m in _row_tiles(r_idx, x_idx, c_ref[0], size):
+            bm = jnp.max(m, axis=0, keepdims=True)            # (1, xblk)
             bc = jnp.sum((m == bm).astype(jnp.float32), axis=0,
                          keepdims=True)
             old_m = m_ref[0, r:r + 1, :]
@@ -143,23 +159,25 @@ def _fwd_kernel(mask_ref, c_ref, m_ref, cnt_ref, *, size: int,
 
 
 def _bwd_kernel(mask_ref, c_ref, m_ref, gw_ref, dc_ref, *, size: int,
-                n_strips: int):
-    """Grid (B, n_fblocks, n_strips); dc (1, fblk, _CW) revisited over r.
-    gw is the per-pixel cotangent already divided by the tie count; the
-    kernel recomputes the logits, selects winners by bitwise comparison
-    with the saved max, splits equally among tied edges (jnp.min vjp)
-    and reduces the per-edge cotangents against [px, py, 1]."""
-    b_idx, f_idx, r_idx = pl.program_id(0), pl.program_id(1), \
-        pl.program_id(2)
+                n_strips: int, n_xblk: int):
+    """Grid (B, n_fblocks, n_strips, n_xblk); dc (1, fblk, _CW) revisited
+    over (r, x). gw is the per-pixel cotangent already divided by the tie
+    count; the kernel recomputes the logits, selects winners by bitwise
+    comparison with the saved max, splits equally among tied edges
+    (jnp.min vjp) and reduces the per-edge cotangents against
+    [px, py, 1]."""
+    b_idx, f_idx, r_idx, x_idx = (pl.program_id(0), pl.program_id(1),
+                                  pl.program_id(2), pl.program_id(3))
 
-    @pl.when(r_idx == 0)
+    @pl.when(jnp.logical_and(r_idx == 0, x_idx == 0))
     def _():
         dc_ref[:] = jnp.zeros_like(dc_ref)
 
-    @pl.when(mask_ref[b_idx * n_strips + r_idx, f_idx] != 0)
+    @pl.when(mask_ref[b_idx * n_strips + r_idx,
+                      x_idx * pl.num_programs(1) + f_idx] != 0)
     def _():
         acc = [jnp.zeros((_FBLK, 1), jnp.float32) for _ in range(_CW)]
-        for r, px, es, m in _row_tiles(r_idx, c_ref[0], size):
+        for r, px, es, m in _row_tiles(r_idx, x_idx, c_ref[0], size):
             win = (m == m_ref[0, r:r + 1, :]).astype(jnp.float32)
             gm = gw_ref[0, r:r + 1, :] * win
             # equal split among tied planes (jnp.min vjp convention)
@@ -171,7 +189,7 @@ def _bwd_kernel(mask_ref, c_ref, m_ref, gw_ref, dc_ref, *, size: int,
             py = (r_idx * _RBLK + r).astype(jnp.float32) \
                 * (2.0 / (size - 1)) - 1.0
             for j, tj in enumerate(ts):
-                de = gm * tj                                  # (fblk, size)
+                de = gm * tj                                  # (fblk, xblk)
                 dsum = jnp.sum(de, axis=1, keepdims=True)     # (fblk, 1)
                 acc[3 * j + 0] += jnp.sum(de * px, axis=1, keepdims=True)
                 acc[3 * j + 1] += dsum * py
@@ -189,16 +207,18 @@ def _max_logit(cpl: jax.Array, active: jax.Array, size: int,
 
 def _ml_fwd(cpl, active, size, interpret):
     B, F, _ = cpl.shape
-    assert size % _RBLK == 0 and F % _FBLK == 0
-    n_strips = size // _RBLK
-    grid = (B, n_strips, F // _FBLK)
-    img_spec = pl.BlockSpec((1, _RBLK, size), lambda b, r, f: (b, r, 0))
+    xblk = _xblk(size)
+    assert size % _RBLK == 0 and F % _FBLK == 0 and size % xblk == 0
+    n_strips, n_xblk = size // _RBLK, size // xblk
+    grid = (B, n_strips, n_xblk, F // _FBLK)
+    img_spec = pl.BlockSpec((1, _RBLK, xblk), lambda b, r, x, f: (b, r, x))
     m, cnt = pl.pallas_call(
-        functools.partial(_fwd_kernel, size=size, n_strips=n_strips),
+        functools.partial(_fwd_kernel, size=size, n_strips=n_strips,
+                          n_xblk=n_xblk),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, _FBLK, _CW), lambda b, r, f: (b, f, 0)),
+            pl.BlockSpec((1, _FBLK, _CW), lambda b, r, x, f: (b, f, 0)),
         ],
         out_specs=[img_spec, img_spec],
         out_shape=[jax.ShapeDtypeStruct((B, size, size), jnp.float32),
@@ -211,16 +231,19 @@ def _ml_fwd(cpl, active, size, interpret):
 def _ml_bwd(size, interpret, res, g):
     cpl, active, m, cnt = res
     B, F, _ = cpl.shape
-    n_strips = size // _RBLK
+    xblk = _xblk(size)
+    n_strips, n_xblk = size // _RBLK, size // xblk
     # equal split among faces tied at the max (cnt >= 1 wherever a
     # winner exists)
     gw = g.astype(jnp.float32) / jnp.maximum(cnt, 1.0)
     coeff_spec_b = pl.BlockSpec((1, _FBLK, _CW),
-                                lambda b, f, r: (b, f, 0))
-    img_spec_b = pl.BlockSpec((1, _RBLK, size), lambda b, f, r: (b, r, 0))
+                                lambda b, f, r, x: (b, f, 0))
+    img_spec_b = pl.BlockSpec((1, _RBLK, xblk),
+                              lambda b, f, r, x: (b, r, x))
     dc = pl.pallas_call(
-        functools.partial(_bwd_kernel, size=size, n_strips=n_strips),
-        grid=(B, F // _FBLK, n_strips),
+        functools.partial(_bwd_kernel, size=size, n_strips=n_strips,
+                          n_xblk=n_xblk),
+        grid=(B, F // _FBLK, n_strips, n_xblk),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), coeff_spec_b,
                   img_spec_b, img_spec_b],
         out_specs=coeff_spec_b,
@@ -234,25 +257,29 @@ _max_logit.defvjp(_ml_fwd, _ml_bwd)
 
 
 def _strip_active(cpl: jax.Array, size: int, sigma: float) -> jax.Array:
-    """Conservative per-(strip, face-block) liveness from the sorted,
-    padded, normalized coefficient planes cpl (B, F', 9).
+    """Conservative per-(strip, x-tile, face-block) liveness from the
+    sorted, padded, normalized coefficient planes cpl (B, F', _CW).
 
-    For every face and row strip, bound the max of m = min_j e_j over
-    each of _NSEG x-segments of the strip's pixel box
+    For every face, row strip and x sub-segment, bound the max of
+    m = min_j e_j over the pixel box
     [x in [xc-xh, xc+xh], y in [ylo, yhi]]:
         max_box m <= min_j max_box e_j
                    = min_j (a_j xc + |a_j| xh + max(b_j ylo, b_j yhi)
                             + c_j),
-    then OR the segments (the x split tightens the concave-in-x
-    min-of-linear bound, whose true max sits between corner values).
-    A block is live for a strip iff ANY of its faces can reach
-    m >= -_CUT_SIGMAS * sigma in ANY segment. Dead/padding rows
-    ([0,0,-BIG]) bound to -BIG and never activate anything. Returns
-    int32 (B * n_strips, n_fblk)."""
+    then OR the sub-segments WITHIN each kernel x tile (the sub-split
+    tightens the concave-in-x min-of-linear bound, whose true max sits
+    between corner values). A (strip, x-tile, block) cell is live iff ANY
+    of the block's faces can reach m >= -_CUT_SIGMAS * sigma in ANY of
+    the tile's sub-segments. Dead/padding rows ([0,0,-BIG]) bound to
+    -BIG and never activate anything. Returns int32
+    (B * n_strips, n_xblk * n_fblk), column layout x-major to match the
+    kernels' mask index x * n_fblk + f."""
     B, Fp, _ = cpl.shape
     n_fblk, n_strips = Fp // _FBLK, size // _RBLK
-    nseg = 8
-    a = cpl[..., 0::3, None, None]                    # (B, F', 3, 1, 1)
+    n_xblk = size // _xblk(size)
+    nsub = 8 // n_xblk if n_xblk <= 8 else 1   # sub-segments per x tile
+    nseg = n_xblk * nsub
+    a = cpl[..., 0::3, None, None]                  # (B, F', _NPL, 1, 1)
     b = cpl[..., 1::3, None, None]
     c = cpl[..., 2::3, None, None]
     scale = 2.0 / (size - 1)
@@ -262,12 +289,14 @@ def _strip_active(cpl: jax.Array, size: int, sigma: float) -> jax.Array:
     xc = ((jnp.arange(nseg, dtype=jnp.float32) + 0.5) * 2.0 * xh
           - 1.0)[:, None]                             # (nseg, 1)
     ub_e = (a * xc + jnp.abs(a) * xh +
-            jnp.maximum(b * s_lo, b * s_hi) + c)      # (B, F', 3, nseg, S)
+            jnp.maximum(b * s_lo, b * s_hi) + c)  # (B, F', _NPL, nseg, S)
     m_ub = jnp.min(ub_e, axis=2)                      # (B, F', nseg, S)
-    live = jnp.any(m_ub >= -_CUT_SIGMAS * float(sigma), axis=2)
-    live = jnp.any(live.reshape(B, n_fblk, _FBLK, n_strips), axis=2)
-    return jnp.transpose(live, (0, 2, 1)).astype(jnp.int32) \
-        .reshape(B * n_strips, n_fblk)
+    live = m_ub >= -_CUT_SIGMAS * float(sigma)
+    # OR over the block's faces and each tile's sub-segments
+    live = live.reshape(B, n_fblk, _FBLK, n_xblk, nsub, n_strips)
+    live = jnp.any(jnp.any(live, axis=4), axis=2)     # (B, nblk, nx, S)
+    return jnp.transpose(live, (0, 3, 2, 1)).astype(jnp.int32) \
+        .reshape(B * n_strips, n_xblk * n_fblk)
 
 
 @functools.partial(jax.jit, static_argnames=("size", "sigma", "interpret"))
@@ -289,15 +318,19 @@ def soft_silhouette_batch(v2d: jax.Array, faces: jax.Array,
     return jax.nn.sigmoid(m * (1.0 / float(sigma)))
 
 
-def _planes(v2d: jax.Array, faces: jax.Array, want_ybounds: bool = False):
-    """(B, V, 2) NDC verts + (F, 3) faces -> y-sorted, padded, normalized
+def _planes(v2d: jax.Array, faces: jax.Array, want_bounds: bool = False):
+    """(B, V, 2) NDC verts + (F, 3) faces -> sorted, padded, normalized
     coefficient planes (B, F', _CW), F' a _FBLK multiple; each row holds
     the _NPL inside-positive planes of one face (3 signed edge-line
     distances + 2 longest-edge endpoint caps — rasterizer._face_planes)
     and dead (degenerate / padding) rows read [0, 0, -BIG] per plane.
-    With want_ybounds also returns the matching sorted/padded per-face y
-    intervals (ymin, ymax), dead rows reading the empty interval
-    (+BIG, -BIG)."""
+
+    Sort: equal-count y bands of _BAND_BLOCKS face blocks, x-sorted
+    within each band (dead faces last), so every block is compact in
+    BOTH dimensions and the (strip, x-tile) liveness masks cull tightly.
+    With want_bounds also returns the matching sorted/padded per-face
+    y and x intervals (ymin, ymax, xmin, xmax), dead rows reading the
+    empty interval (+BIG, -BIG)."""
     from .rasterizer import _face_planes
 
     coeffs, nondeg = jax.vmap(lambda v: _face_planes(v, faces))(v2d)
@@ -308,47 +341,70 @@ def _planes(v2d: jax.Array, faces: jax.Array, want_ybounds: bool = False):
     B, F = coeffs.shape[:2]
     cpl = coeffs.reshape(B, F, _CW)                           # (B, F, _CW)
 
-    # y-sort so each face block spans a narrow y band (tight block-level
-    # liveness OR); dead faces sort last
     fy = v2d[:, faces, 1]                                     # (B, F, 3)
+    fx = v2d[:, faces, 0]
     ymin = jnp.where(nondeg, jnp.min(fy, axis=-1), _BIG)
-    order = jnp.argsort(ymin, axis=1)
+    xmin = jnp.where(nondeg, jnp.min(fx, axis=-1), _BIG)
+    if _BAND_BLOCKS and F > _BAND_BLOCKS * _FBLK:
+        # equal-count y bands -> x-sort within each band. The y rank of
+        # a dead face is maximal (ymin=_BIG), so dead faces land in the
+        # last band and, with xmin=_BIG, at its very end.
+        yrank = jnp.argsort(jnp.argsort(ymin, axis=1), axis=1)
+        band = yrank // (_BAND_BLOCKS * _FBLK)
+        key = band.astype(jnp.float32) * 1e4 + jnp.clip(xmin, -8.0, 8.0)
+        order = jnp.argsort(key, axis=1)
+    else:
+        order = jnp.argsort(ymin, axis=1)
     cpl = jnp.take_along_axis(cpl, order[..., None], axis=1)
 
     pad = (-F) % _FBLK
     cpl = jnp.pad(cpl, ((0, 0), (0, pad), (0, 0)), constant_values=0.0)
     if pad:  # padded faces must read [0, 0, -BIG], not all-zero
         cpl = cpl.at[:, F:, 2::3].set(-_BIG)
-    if not want_ybounds:
+    if not want_bounds:
         return cpl
     ymax = jnp.where(nondeg, jnp.max(fy, axis=-1), -_BIG)
-    ymin_s = jnp.pad(jnp.take_along_axis(ymin, order, axis=1),
-                     ((0, 0), (0, pad)), constant_values=_BIG)
-    ymax_s = jnp.pad(jnp.take_along_axis(ymax, order, axis=1),
-                     ((0, 0), (0, pad)), constant_values=-_BIG)
-    return cpl, ymin_s, ymax_s
+    xmax = jnp.where(nondeg, jnp.max(fx, axis=-1), -_BIG)
+
+    def srt(v, fill):
+        return jnp.pad(jnp.take_along_axis(v, order, axis=1),
+                       ((0, 0), (0, pad)), constant_values=fill)
+
+    return cpl, srt(ymin, _BIG), srt(ymax, -_BIG), \
+        srt(xmin, _BIG), srt(xmax, -_BIG)
 
 
-def _strip_active_ybbox(ymin: jax.Array, ymax: jax.Array,
-                        size: int) -> jax.Array:
-    """EXACT strip liveness for the HARD mask from per-face y intervals
-    (B, F'): a covered pixel (m >= 0) lies inside its face, hence inside
-    the face's y interval, so a (strip, block) cell is live iff the
-    block's merged y band intersects the strip's pixel-y range. O(F)
-    with no (F x strips) intermediates — the sil path's segmented
-    interval bound materializes (B, F', 3, nseg, strips), which at
-    stage-3 shapes (24 views x 13.8k faces x 64 strips) is GBs of HBM
-    traffic for a mask that needs no sigma tail (PERF_NOTES round 3)."""
+def _strip_active_bbox(ymin: jax.Array, ymax: jax.Array, xmin: jax.Array,
+                       xmax: jax.Array, size: int) -> jax.Array:
+    """EXACT (strip, x-tile) liveness for the HARD mask from per-face
+    y/x intervals (B, F'): a covered pixel (m >= 0) lies inside its
+    face, hence inside the face's bbox, so a (strip, x-tile, block) cell
+    is live iff the block's merged bbox intersects the cell's pixel
+    ranges. O(F) with no (F x strips) intermediates — the sil path's
+    segmented interval bound materializes (B, F', _NPL, nseg, strips),
+    which at stage-3 shapes (24 views x 13.8k faces x 64 strips) is GBs
+    of HBM traffic for a mask that needs no sigma tail (PERF_NOTES
+    round 3)."""
     B, Fp = ymin.shape
     n_fblk, n_strips = Fp // _FBLK, size // _RBLK
+    xblk = _xblk(size)
+    n_xblk = size // xblk
     blo = jnp.min(ymin.reshape(B, n_fblk, _FBLK), axis=2)    # (B, nblk)
     bhi = jnp.max(ymax.reshape(B, n_fblk, _FBLK), axis=2)
+    xlo = jnp.min(xmin.reshape(B, n_fblk, _FBLK), axis=2)
+    xhi = jnp.max(xmax.reshape(B, n_fblk, _FBLK), axis=2)
     scale = 2.0 / (size - 1)
     s_lo = jnp.arange(n_strips, dtype=jnp.float32) * _RBLK * scale - 1.0
     s_hi = s_lo + (_RBLK - 1) * scale
-    live = (blo[:, None, :] <= s_hi[None, :, None]) \
+    t_lo = jnp.arange(n_xblk, dtype=jnp.float32) * xblk * scale - 1.0
+    t_hi = t_lo + (xblk - 1) * scale
+    live_y = (blo[:, None, :] <= s_hi[None, :, None]) \
         & (bhi[:, None, :] >= s_lo[None, :, None])           # (B, S, nblk)
-    return live.astype(jnp.int32).reshape(B * n_strips, n_fblk)
+    live_x = (xlo[:, None, :] <= t_hi[None, :, None]) \
+        & (xhi[:, None, :] >= t_lo[None, :, None])           # (B, X, nblk)
+    live = live_y[:, :, None, :] & live_x[:, None, :, :]     # (B,S,X,nblk)
+    return live.astype(jnp.int32).reshape(B * n_strips,
+                                          n_xblk * n_fblk)
 
 
 # SMEM budget guard: the liveness mask is (views * n_strips, n_fblocks)
@@ -371,9 +427,9 @@ def coverage_mask_batch(v2d: jax.Array, faces: jax.Array,
     liveness bound upper-bounds m itself, so culled cells provably
     contain no covered pixel). Non-differentiable by construction.
     """
-    cpl, ymin, ymax = _planes(v2d, faces, want_ybounds=True)
+    cpl, ymin, ymax, xmin, xmax = _planes(v2d, faces, want_bounds=True)
     cpl = jax.lax.stop_gradient(cpl)
-    active = _strip_active_ybbox(ymin, ymax, size)
+    active = _strip_active_bbox(ymin, ymax, xmin, xmax, size)
     outs = []
     for s in range(0, cpl.shape[0], _MASK_VIEWS):
         m = _max_logit(cpl[s:s + _MASK_VIEWS],
