@@ -474,6 +474,7 @@ def run_phase(args):
             "--robust-centers",
             "--crop-size", str(args.crop_size), "--save-name", "fixture"]
             + (["--collision"] if args.collision else [])
+            + (["--fast-gen"] if getattr(args, "fast_gen", False) else [])
             + (["--ocent", str(getattr(args, "ocent", 0.0))]
                if getattr(args, "ocent", 0.0) else []))
         run_real_track(targs)  # is_done resume: skips if the pack exists
@@ -572,6 +573,9 @@ def build_parser():
     ap.add_argument("--collision", action="store_true",
                     help="enable the stage-6 SDF collision term in the "
                          "track phases (pair with --recon-tag coll)")
+    ap.add_argument("--fast-gen", action="store_true",
+                    help="forward track --fast-gen (stage-4 funnel "
+                         "harvest) to the track phases")
     ap.add_argument("--ocent", type=float, default=0.0,
                     help="stage-6 object-center anchor weight (see "
                          "real_track --ocent; pair with --recon-tag)")
@@ -614,6 +618,8 @@ def main():
         fwd.append("--cpu")
     if args.collision:
         fwd.append("--collision")
+    if args.fast_gen:
+        fwd.append("--fast-gen")
     for ph in phases:
         log(f"=== phase {ph} (subprocess) ===")
         rc = subprocess.run(base + fwd + ["--phase", ph]).returncode
