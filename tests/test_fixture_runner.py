@@ -73,3 +73,17 @@ def test_track_phase_forwards_ocent(tmp_path, monkeypatch):
         lambda targs: captured.setdefault("ocent", targs.ocent))
     rfe.run_phase(args)
     assert captured["ocent"] == pytest.approx(0.25)
+
+
+def test_track_phase_forwards_fast_gen(tmp_path, monkeypatch):
+    rfe = _import_rfe()
+    args = _runner_args(str(tmp_path), fast_gen=True, phase="track")
+    captured = {}
+
+    import vistracker_tpu.cli.real_track as rt
+    monkeypatch.setattr(
+        rt, "run_real_track",
+        lambda targs: captured.setdefault(
+            "fast_gen", bool(getattr(targs, "fast_gen", False))))
+    rfe.run_phase(args)
+    assert captured["fast_gen"] is True
