@@ -339,7 +339,23 @@ def bench_sifnet_and_stage6(jnp, jax, floor_s, do_stage4=True,
                                    smpl_final.betas, smpl_final.trans)
     obj_pts = jnp.asarray((rng.randn(3000, 3) * 0.15).astype(np.float32))
     obj_pts_b = jnp.broadcast_to(obj_pts, (B, 3000, 3))
-    sil_faces = jnp.asarray(rng.randint(0, 3000, (2500, 3)).astype(np.int32))
+    # sil template: a COMPACT deformed-sphere mesh (~2.5k connected faces)
+    # like every real object template — random-index faces are giant
+    # slivers that defeat the sil kernel's block culling, a shape the
+    # pipeline never rasterizes (same reasoning as the stage-3 mesh above)
+    nv_o = 36
+    th_o = np.linspace(0.25, np.pi - 0.25, nv_o, dtype=np.float32)
+    ph_o = np.linspace(0.0, 2 * np.pi, nv_o, dtype=np.float32)
+    tt_o, pp_o = np.meshgrid(th_o, ph_o, indexing="ij")
+    sil_v = np.stack([np.sin(tt_o) * np.cos(pp_o), np.cos(tt_o),
+                      np.sin(tt_o) * np.sin(pp_o)], -1).reshape(-1, 3) * 0.15
+    qi_o = np.arange(nv_o * nv_o).reshape(nv_o, nv_o)
+    qa_o, qb_o = qi_o[:-1, :-1].ravel(), qi_o[1:, :-1].ravel()
+    qc_o, qd_o = qi_o[:-1, 1:].ravel(), qi_o[1:, 1:].ravel()
+    sil_faces = jnp.asarray(np.concatenate(
+        [np.stack([qa_o, qb_o, qc_o], -1),
+         np.stack([qb_o, qd_o, qc_o], -1)]).astype(np.int32))  # 2450 faces
+    sil_verts_b = jnp.broadcast_to(jnp.asarray(sil_v), (B,) + sil_v.shape)
     pm = (rng.rand(B, jcfg.sil_size, jcfg.sil_size) > 0.7).astype(np.float32)
     om = (rng.rand(B, jcfg.sil_size, jcfg.sil_size) > 0.8).astype(np.float32)
     sil = prepare_sil_refs(pm, om, np.tile([[1018.0, 779.0]], (B, 1)),
@@ -350,12 +366,12 @@ def bench_sifnet_and_stage6(jnp, jax, floor_s, do_stage4=True,
 
     print("[bench] stage6 object compile...", file=sys.stderr, flush=True)
     r_fin, t_fin, _ = opt_obj(r0, t0v, jnp.ones(B), obj_pts_b, verts_f,
-                              part_labels, occ, sil, obj_pts_b, sil_faces,
+                              part_labels, occ, sil, sil_verts_b, sil_faces,
                               ctx)
     _fetch(t_fin)  # compile + warm
     t0 = time.perf_counter()
     r_fin, t_fin, _ = opt_obj(r0, t0v, jnp.ones(B), obj_pts_b, verts_f,
-                              part_labels, occ, sil, obj_pts_b, sil_faces,
+                              part_labels, occ, sil, sil_verts_b, sil_faces,
                               ctx)
     _fetch(t_fin)
     dt_obj = time.perf_counter() - t0
