@@ -26,10 +26,12 @@ def v2v(name):
     except Exception:
         return None
 
-base = v2v("fixture_eval_heldout_ms4_small_r4.json")
+base = v2v("fixture_eval_heldout_ms4_small_r4b.json")
 if base is None:
-    # queue1 baseline failed; fall back to the round-3 artifact
-    base = v2v("fixture_eval_heldout_ms4_small.json") or 1e9
+    # queue1b baseline failed; fall back to the session-2 then round-3
+    # artifacts
+    base = (v2v("fixture_eval_heldout_ms4_small_r4.json")
+            or v2v("fixture_eval_heldout_ms4_small.json") or 1e9)
 
 ocents = {0.0: base}
 for w, tag in ((0.25, "oc025"), (1.0, "oc1"), (25.0, "oc25")):

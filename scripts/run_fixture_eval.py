@@ -173,11 +173,29 @@ def train_sifnet(frames, part_labels, out_dir, crop_size, net_size,
         out["frame_idx"] = np.int32(i)
         return out
 
+    def val_example(i):
+        # fixed slot 0 and NO `calls` bump: the val pass must not perturb
+        # the train slot cycling (sharing the train example fn made which-
+        # slot-trains-when depend on how many batches the bounded val
+        # iteration happened to materialize — nondeterministic across
+        # runs, so retrained checkpoints differed run to run)
+        key = (i, 0)
+        if key not in memo:
+            slim = _build(i, 0)
+            with calls_lock:
+                memo.setdefault(key, slim)
+        out = dict(memo[key])
+        out["frame_idx"] = np.int32(i)
+        return out
+
     # size the worker pool to the host: on the degraded 1-core terminal
     # 10 workers just thrash the scheduler (89% sys time observed); with
     # the disk-backed pool the per-item cost is a cache hit anyway
+    n_workers = min(10, 2 * (os.cpu_count() or 1))
     loader = PrefetchLoader(example, len(frames), batch_size=4,
-                            num_workers=min(10, 2 * (os.cpu_count() or 1)))
+                            num_workers=n_workers)
+    val_loader = PrefetchLoader(val_example, len(frames), batch_size=4,
+                                num_workers=n_workers)
     # df clamp: the release value (clamp_thres 0.1, torch.clamp semantics =
     # zero gradient above the clamp) is a TRAP at this overfit scale — the
     # x1000-weighted center/vis losses shift the shared features until
@@ -217,7 +235,7 @@ def train_sifnet(frames, part_labels, out_dir, crop_size, net_size,
         _, loss, _ = step(state, batch)
         return loss
 
-    state = train_loop(state, step, loader, val_loader=loader,
+    state = train_loop(state, step, loader, val_loader=val_loader,
                        val_loss_fn=val_fn, cfg=lcfg, to_device=to_dev)
     return out_dir
 
@@ -474,6 +492,8 @@ def run_phase(args):
             "--robust-centers",
             "--crop-size", str(args.crop_size), "--save-name", "fixture"]
             + (["--collision"] if args.collision else [])
+            + (["--sil-backend", getattr(args, "sil_backend", "auto")]
+               if getattr(args, "sil_backend", "auto") != "auto" else [])
             + (["--fast-gen"] if getattr(args, "fast_gen", False) else [])
             + (["--ocent", str(getattr(args, "ocent", 0.0))]
                if getattr(args, "ocent", 0.0) else []))
@@ -573,6 +593,10 @@ def build_parser():
     ap.add_argument("--collision", action="store_true",
                     help="enable the stage-6 SDF collision term in the "
                          "track phases (pair with --recon-tag coll)")
+    ap.add_argument("--sil-backend", default="auto",
+                    choices=("auto", "pallas", "xla"),
+                    help="forwarded to the track phases (stage-6 soft-"
+                         "silhouette implementation A/B)")
     ap.add_argument("--fast-gen", action="store_true",
                     help="forward track --fast-gen (stage-4 funnel "
                          "harvest) to the track phases")
@@ -607,24 +631,38 @@ def main():
         return
     import subprocess
     base = [sys.executable, osp.abspath(__file__)]
-    fwd = []
-    for k in ("out", "frames", "raster", "net_size", "crop_size",
-              "chunk_size", "sif_epochs", "sif_samples", "grid_ratio",
-              "results", "heldout_motion_seed", "heldout_results", "train_seqs",
-              "recon_tag", "ocent",
-              "net_preset", "object_shape"):
-        fwd += ["--" + k.replace("_", "-"), str(getattr(args, k))]
-    if args.cpu:
-        fwd.append("--cpu")
-    if args.collision:
-        fwd.append("--collision")
-    if args.fast_gen:
-        fwd.append("--fast-gen")
+    # forward EVERY parser option to the phase subprocesses, derived from
+    # the parser itself. A hand-maintained forward list silently dropped
+    # newly added flags twice (round-3: --ocent broke the runner test;
+    # round-4: --sil-backend never reached the track phase, voiding a
+    # kernel A/B run — the "different backend" produced a bitwise-
+    # identical recon pack).
+    fwd = forwarded_args(args)
     for ph in phases:
         log(f"=== phase {ph} (subprocess) ===")
         rc = subprocess.run(base + fwd + ["--phase", ph]).returncode
         if rc != 0:
             raise SystemExit(f"phase {ph} failed rc={rc}")
+
+
+def forwarded_args(args):
+    """CLI tokens reproducing `args` for a phase subprocess, derived from
+    build_parser() so new options can never be silently dropped."""
+    import argparse
+    fwd = []
+    for act in build_parser()._actions:
+        if not act.option_strings or act.dest in ("help", "phase",
+                                                  "single_process"):
+            continue
+        val = getattr(args, act.dest)
+        if isinstance(act, argparse._StoreTrueAction):
+            if val:
+                fwd.append(act.option_strings[0])
+        elif val is None:
+            continue
+        else:
+            fwd += [act.option_strings[0], str(val)]
+    return fwd
 
 
 if __name__ == "__main__":

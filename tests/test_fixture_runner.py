@@ -75,6 +75,38 @@ def test_track_phase_forwards_ocent(tmp_path, monkeypatch):
     assert captured["ocent"] == pytest.approx(0.25)
 
 
+def test_subprocess_forwarding_roundtrips_every_option(tmp_path):
+    """The phase orchestrator must forward EVERY parser option to its
+    phase subprocesses. The hand-maintained forward list silently dropped
+    new flags twice (round-3 --ocent; round-4 --sil-backend, which voided
+    a kernel A/B run with a bitwise-identical recon pack): forwarded_args
+    is now derived from the parser, and this test pins the round-trip —
+    parse(any overrides) -> forwarded_args -> parse == same namespace."""
+    rfe = _import_rfe()
+    args = _runner_args(str(tmp_path), recon_tag="xs", collision=True,
+                        ocent=0.25, fast_gen=True)
+    args.sil_backend = "xla"
+    back = rfe.build_parser().parse_args(rfe.forwarded_args(args))
+    for k, v in vars(args).items():
+        if k in ("phase", "single_process"):
+            continue
+        assert getattr(back, k) == v, k
+
+
+def test_track_phase_forwards_sil_backend(tmp_path, monkeypatch):
+    rfe = _import_rfe()
+    args = _runner_args(str(tmp_path), sil_backend="xla", phase="track")
+    captured = {}
+
+    import vistracker_tpu.cli.real_track as rt
+    monkeypatch.setattr(
+        rt, "run_real_track",
+        lambda targs: captured.setdefault(
+            "sil", getattr(targs, "sil_backend", "auto")))
+    rfe.run_phase(args)
+    assert captured["sil"] == "xla"
+
+
 def test_track_phase_forwards_fast_gen(tmp_path, monkeypatch):
     rfe = _import_rfe()
     args = _runner_args(str(tmp_path), fast_gen=True, phase="track")

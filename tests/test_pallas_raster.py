@@ -152,8 +152,11 @@ def test_coverage_mask_matches_xla(rng):
     faces, and a >_MASK_VIEWS batch (exercises the SMEM batch slicing)."""
     from vistracker_tpu.ops.rasterizer import rasterize_mask
     from vistracker_tpu.ops.pallas_raster import (coverage_mask_batch,
-                                                  _MASK_VIEWS)
-    B = _MASK_VIEWS + 3
+                                                  _mask_views)
+    # _mask_views is the adaptive SMEM guard (512^2 x 13776 SMPL faces
+    # overflowed the old fixed 8-view slice); pick B past it so the
+    # slicing path is exercised at this test's tiny shape
+    B = _mask_views(SIZE, 256) + 3
     v2d = rng.randn(B, 40, 2).astype(np.float32) * 0.6
     v2d[:, 30:] += 3.0  # some fully offscreen verts/faces
     faces = rng.randint(0, 40, (150, 3)).astype(np.int32)
@@ -183,3 +186,27 @@ def test_triplane_batch_matches_per_frame(rng):
     xla = render_triplane_masks_batch(verts, faces, bc, SIZE,
                                       backend="xla")
     np.testing.assert_array_equal(np.asarray(xla), np.asarray(ref))
+
+
+def test_sil_batch_smem_slicing_matches(rng, monkeypatch):
+    """soft_silhouette_batch with a batch larger than the SMEM view
+    budget must slice and concatenate WITHOUT changing values or
+    gradients (the slice boundary is differentiable)."""
+    from vistracker_tpu.ops import pallas_raster as pr
+    v2d, faces = _scene(rng, B=5)
+    target = jnp.asarray((rng.rand(5, SIZE, SIZE) > 0.5).astype(np.float32))
+
+    def loss(v):
+        imgs = soft_silhouette_batch(v, faces, SIZE, SIGMA, interpret=True)
+        return ((imgs - target) ** 2).sum()
+
+    l0, g0 = jax.value_and_grad(loss)(v2d)
+    # shrink the budget so 5 examples need 3 pallas_calls (2+2+1)
+    per_view = (SIZE // pr._RBLK) * (SIZE // pr._xblk(SIZE)) \
+        * (128 // pr._FBLK) * 4
+    monkeypatch.setattr(pr, "_MASK_SMEM_BUDGET", 2 * per_view)
+    assert pr._mask_views(SIZE, 128) == 2
+    l1, g1 = jax.value_and_grad(loss)(v2d)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-6, atol=1e-7)

@@ -57,6 +57,40 @@ def test_prefetch_loader_retry_and_shapes(rng):
         assert b["x"].shape == (2, 4)
 
 
+def test_prefetch_loader_order_deterministic():
+    """Batch ORDER must be reproducible run to run even when worker
+    completion order is scrambled (slow early examples). The pre-round-4
+    shared output queue yielded in completion order — retrained
+    checkpoints were non-reproducible and fixture experiments
+    non-comparable across sessions."""
+    import time
+
+    def example(i):
+        time.sleep(0.02 if i < 4 else 0.0)  # early examples finish LAST
+        return {"x": np.full((2,), i, np.float32)}
+
+    def run():
+        loader = PrefetchLoader(example, 12, batch_size=2, shuffle=True,
+                                num_workers=6, seed=7)
+        return [b["x"][:, 0].tolist() for b in loader]
+
+    a, b = run(), run()
+    assert a == b
+    assert sorted(x for bt in a for x in bt) == list(map(float, range(12)))
+
+
+def test_prefetch_loader_early_stop_no_deadlock():
+    """A consumer that stops after a few batches (bounded val pass) must
+    not deadlock or starve subsequent epochs."""
+    loader = PrefetchLoader(lambda i: {"x": np.zeros(1, np.float32)}, 40,
+                            batch_size=2, num_workers=4)
+    for _ in range(3):  # several abandoned epochs
+        for bi, _ in enumerate(loader):
+            if bi == 2:
+                break
+    assert len(list(loader)) == 20  # full epoch still completes
+
+
 def test_gen_drop_mask_bounds(rng):
     for i in range(20):
         m = gen_drop_mask(180, 10, 120, np.random.RandomState(i))

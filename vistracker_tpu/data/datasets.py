@@ -69,8 +69,18 @@ class PrefetchLoader:
         self.epoch += 1
         nb = len(idx) // self.bs if self.drop_last else \
             -(-len(idx) // self.bs)
-        out_q: queue.Queue = queue.Queue(maxsize=4)
+        # one single-slot queue PER BATCH, consumed in batch order: workers
+        # still produce in parallel but the yielded stream is deterministic.
+        # (The old shared output queue yielded batches in thread-completion
+        # order — training batch order varied run to run, which made
+        # retrained checkpoints non-reproducible and fixture experiments
+        # non-comparable across sessions.)
+        slots = [queue.Queue(maxsize=1) for _ in range(nb)]
         rng = np.random.RandomState(self.seed + 1000 + self.epoch)
+        # backpressure: at most workers + 4 batches materialized ahead of
+        # the consumer (the old shared queue bounded this with maxsize=4)
+        ahead = threading.Semaphore(self.workers + 4)
+        cancelled = threading.Event()  # set when the consumer stops early
 
         def produce(batch_indices, slot_q):
             try:
@@ -83,11 +93,16 @@ class PrefetchLoader:
         def runner():
             threads = []
             for b in range(nb):
+                while not ahead.acquire(timeout=1.0):
+                    if cancelled.is_set():
+                        return
+                if cancelled.is_set():
+                    return
                 bi = idx[b * self.bs:(b + 1) * self.bs]
                 # daemon: a consumer may stop iterating early (e.g. a
                 # bounded val pass); blocked producers must not prevent
                 # process exit
-                t = threading.Thread(target=produce, args=(bi, out_q),
+                t = threading.Thread(target=produce, args=(bi, slots[b]),
                                      daemon=True)
                 t.start()
                 threads.append(t)
@@ -98,18 +113,19 @@ class PrefetchLoader:
                             x.join(timeout=0.05)
                             break
                     threads = [x for x in threads if x.is_alive()]
-            for t in threads:
-                t.join()
-            out_q.put(None)
 
         threading.Thread(target=runner, daemon=True).start()
-        while True:
-            batch = out_q.get()
-            if batch is None:
-                return
-            if isinstance(batch, Exception):
-                raise batch
-            yield batch
+        try:
+            for b in range(nb):
+                batch = slots[b].get()
+                ahead.release()
+                if isinstance(batch, Exception):
+                    raise batch
+                yield batch
+        finally:
+            # a consumer that stops early (bounded val pass, exception)
+            # must not leave producers blocked on backpressure forever
+            cancelled.set()
 
     def __len__(self):
         return len(self._indices()) // self.bs

@@ -314,7 +314,17 @@ def soft_silhouette_batch(v2d: jax.Array, faces: jax.Array,
     """
     cpl = _planes(v2d, faces)
     active = _strip_active(jax.lax.stop_gradient(cpl), size, float(sigma))
-    m = _max_logit(cpl, active, size, interpret)
+    nv = _mask_views(size, cpl.shape[1])
+    if cpl.shape[0] <= nv:
+        m = _max_logit(cpl, active, size, interpret)
+    else:
+        # SMEM budget: slice the batch (differentiable — the vjp of
+        # concatenate/slice routes each slice's dcoeffs back)
+        ns = size // _RBLK
+        m = jnp.concatenate(
+            [_max_logit(cpl[s:s + nv], active[s * ns:(s + nv) * ns],
+                        size, interpret)
+             for s in range(0, cpl.shape[0], nv)], 0)
     return jax.nn.sigmoid(m * (1.0 / float(sigma)))
 
 
@@ -407,10 +417,21 @@ def _strip_active_bbox(ymin: jax.Array, ymax: jax.Array, xmin: jax.Array,
                                           n_xblk * n_fblk)
 
 
-# SMEM budget guard: the liveness mask is (views * n_strips, n_fblocks)
-# int32 resident in SMEM; slicing the batch keeps it small for the big
-# stage-3 shapes (90 views x 13.8k SMPL faces at 512^2).
-_MASK_VIEWS = 8
+# SMEM budget guard: the liveness mask is (views * n_strips,
+# n_xblk * n_fblocks) int32 resident in SMEM (TPU SMEM is ~1 MiB and the
+# kernel's scalars/grid bookkeeping need headroom). Slicing the batch
+# keeps each pallas_call's mask under budget for the big stage-3 shapes:
+# at 512^2 x 13776 SMPL faces one view costs 64 * 4 * 108 * 4 B = 108 KiB,
+# so 8 views (the old fixed slice) already sat at 884 KiB and FAILED to
+# compile 169 faces later (measured: SMEM 1.00M exceeded by 1.1K at
+# 512^2 x 13944 — scripts/check_tpu_kernel_parity.py).
+_MASK_SMEM_BUDGET = 512 * 1024
+
+
+def _mask_views(size: int, n_faces_padded: int) -> int:
+    per_view = (size // _RBLK) * (size // _xblk(size)) \
+        * (n_faces_padded // _FBLK) * 4
+    return max(1, _MASK_SMEM_BUDGET // per_view)
 
 
 @functools.partial(jax.jit, static_argnames=("size", "interpret"))
@@ -430,11 +451,12 @@ def coverage_mask_batch(v2d: jax.Array, faces: jax.Array,
     cpl, ymin, ymax, xmin, xmax = _planes(v2d, faces, want_bounds=True)
     cpl = jax.lax.stop_gradient(cpl)
     active = _strip_active_bbox(ymin, ymax, xmin, xmax, size)
+    nv = _mask_views(size, cpl.shape[1])
     outs = []
-    for s in range(0, cpl.shape[0], _MASK_VIEWS):
-        m = _max_logit(cpl[s:s + _MASK_VIEWS],
+    for s in range(0, cpl.shape[0], nv):
+        m = _max_logit(cpl[s:s + nv],
                        active[s * (size // _RBLK):
-                              (s + _MASK_VIEWS) * (size // _RBLK)],
+                              (s + nv) * (size // _RBLK)],
                        size, interpret)
         outs.append(m >= 0.0)
     return jnp.concatenate(outs, 0).astype(jnp.float32)
