@@ -14,6 +14,18 @@
 set -x
 cd /root/repo
 
+# Re-run the sil-backend A/B first: the original xsil run was VOID — the
+# orchestrator's hand-maintained forward list dropped --sil-backend, so
+# the "xla" track ran the pallas default and produced a bitwise-identical
+# recon pack (which did prove the track itself is deterministic).
+# forwarded_args() is parser-derived now; recon-tag xsil2 forces a fresh
+# track.
+timeout 7200 python scripts/run_fixture_eval.py --out fixture_run_ms \
+  --train-seqs 4 --net-preset small --heldout --sil-backend xla \
+  --recon-tag xsil2 \
+  --heldout-results results/fixture_eval_heldout_ms4_small_xsil.json \
+  || echo "QUEUE3 xsil re-run FAILED"
+
 read -r RUN OCENT COLL <<EOF
 $(python - <<'PY'
 import json, os
