@@ -209,7 +209,14 @@ def train_sifnet(frames, part_labels, out_dir, crop_size, net_size,
     # every step then gathers its batch's images on-device from indices
     images_all = jnp.asarray(np.stack([f["image"] for f in frames])
                              .astype(np.float32))
-    b0 = to_dev(next(iter(loader)))
+    # init batch built DIRECTLY from val_example (which never bumps
+    # `calls`): drawing it from the train loader spawned a timing-
+    # dependent number of prefetch producers before the iterator was
+    # abandoned, each bumping calls[i] and shifting that frame's
+    # sample-pool slot — first-epoch sample assignment (and hence the
+    # trained checkpoint) varied run to run
+    _ex0 = [val_example(i) for i in range(4)]
+    b0 = to_dev({k: np.stack([e[k] for e in _ex0], 0) for k in _ex0[0]})
     state = init_train_state(
         model, jax.random.PRNGKey(0),
         dict(b0, images=images_all[b0["frame_idx"]]), tcfg)

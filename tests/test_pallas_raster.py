@@ -146,17 +146,24 @@ def test_culling_scene_matches_xla(rng):
                                rtol=1e-3, atol=1e-4)
 
 
-def test_coverage_mask_matches_xla(rng):
+def test_coverage_mask_matches_xla(rng, monkeypatch):
     """Hard coverage mask (stage-3 triplane path): exact {0,1} equality
     with vmap(rasterize_mask), incl. degenerate faces, padding, offscreen
     faces, and a >_MASK_VIEWS batch (exercises the SMEM batch slicing)."""
     from vistracker_tpu.ops.rasterizer import rasterize_mask
-    from vistracker_tpu.ops.pallas_raster import (coverage_mask_batch,
-                                                  _mask_views)
+    from vistracker_tpu.ops import pallas_raster as pr
+    from vistracker_tpu.ops.pallas_raster import coverage_mask_batch
     # _mask_views is the adaptive SMEM guard (512^2 x 13776 SMPL faces
-    # overflowed the old fixed 8-view slice); pick B past it so the
-    # slicing path is exercised at this test's tiny shape
-    B = _mask_views(SIZE, 256) + 3
+    # overflowed the old fixed 8-view slice). At this test's tiny shape
+    # the adaptive budget yields ~16k views — shrink the BUDGET (not grow
+    # B: 16k+3 examples x interpret-mode grid cells never finishes) so
+    # the slicing path is exercised with a handful of examples.
+    per_view = (SIZE // pr._RBLK) * (SIZE // pr._xblk(SIZE)) \
+        * (256 // pr._FBLK) * 4
+    monkeypatch.setattr(pr, "_MASK_SMEM_BUDGET", 4 * per_view)
+    jax.clear_caches()  # coverage_mask_batch is jitted; drop stale traces
+    B = pr._mask_views(SIZE, 256) + 3
+    assert B == 7
     v2d = rng.randn(B, 40, 2).astype(np.float32) * 0.6
     v2d[:, 30:] += 3.0  # some fully offscreen verts/faces
     faces = rng.randint(0, 40, (150, 3)).astype(np.int32)
@@ -206,7 +213,16 @@ def test_sil_batch_smem_slicing_matches(rng, monkeypatch):
         * (128 // pr._FBLK) * 4
     monkeypatch.setattr(pr, "_MASK_SMEM_BUDGET", 2 * per_view)
     assert pr._mask_views(SIZE, 128) == 2
+    # soft_silhouette_batch is jitted: without clearing, the second call
+    # reuses the UNSLICED executable traced above and the test is vacuous
+    jax.clear_caches()
+    calls = []
+    real_max_logit = pr._max_logit
+    monkeypatch.setattr(
+        pr, "_max_logit",
+        lambda *a, **k: (calls.append(1), real_max_logit(*a, **k))[1])
     l1, g1 = jax.value_and_grad(loss)(v2d)
+    assert len(calls) == 3  # the sliced path actually ran (2+2+1)
     np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
                                rtol=1e-6, atol=1e-7)
