@@ -426,21 +426,86 @@ def run_phase(phase: str, stage6_batch: int = 32):
     print(json.dumps({k: round(float(v), 3) for k, v in out.items()}))
 
 
+def _emit(comp, final=False):
+    """Print the best headline JSON for the components measured SO FAR.
+
+    Called after EVERY phase (not only at the end): the round-4 driver run
+    was killed by an external timeout mid-phase with nothing printed
+    (BENCH_r04 rc=124, parsed null) — cumulative emission means the last
+    stdout JSON line always reflects everything measured."""
+    smplt_fps = comp.get("smplt_fit_frames_per_sec")
+    baseline_fps = 1500.0 / (6.0 * 3600.0)  # fast end of the 6-8 h range
+    s6 = comp.get("stage6_joint_opt_frames_per_sec")
+    s4 = comp.get("stage4_encode_generate_ms_per_frame")
+    if smplt_fps and s6:
+        # full-pipeline projection for 1500 frames on ONE chip:
+        # stage 1 fit + stage 2 refit (~30% of the fit budget,
+        # fit_SMPLH_smoothed.py: 30 vs 100 iters) + stage 3 (triplane
+        # render, when measured) + stage 4 + stage 6
+        stage3_s = comp.get("stage3_triplane_render_ms_per_frame", 0.0) / 1e3
+        s4_note = ""
+        if s4 is None:
+            # stage-4 phase lost this run: charge the round-3 measured
+            # cost (BENCH_r03 326 ms/frame; stage-3 rides the same phase,
+            # 93 ms/frame) instead of silently inflating the composite
+            s4 = 326.0
+            stage3_s = stage3_s or 0.093
+            s4_note = ", stage-3/4 charged at their r3 costs (lost)"
+        per_frame = (1.0 / smplt_fps) * 1.3 + stage3_s + s4 / 1000.0 + 1.0 / s6
+        metric, value = "pipeline_composite_frames_per_sec", 1.0 / per_frame
+        unit = ("frames/s (stages 1-2 + 3 + 4 + 6 measured at release "
+                "budgets, full-budget worst case, single chip" + s4_note + ")")
+    elif s6:
+        # the metric-critical stage measured: headline stage 6 alone —
+        # it dominates the reference budget, so the rate stays a
+        # meaningful (conservative) vs-baseline figure
+        metric, value = "stage6_joint_opt_frames_per_sec", s6
+        unit = ("frames/s (stage-6 joint optimization, full reference "
+                "budget, release net, single chip; other stages lost "
+                "this run)")
+    elif smplt_fps:  # partial fallback: the stage-1-2 figure
+        metric, value = "smplt_fit_frames_per_sec", smplt_fps
+        unit = "frames/s (512-frame chunk, 1080 Adam steps, SMPL-H 6890)"
+    else:
+        metric, value = "pipeline_composite_frames_per_sec", 0.0
+        unit = "no phase completed within the bench deadline"
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 3),
+        "unit": unit,
+        "vs_baseline": round(value / baseline_fps, 2),
+        "components": {k: round(float(v), 3) for k, v in comp.items()},
+    }), flush=True)
+
+
 def main():
     """Orchestrator: each phase runs in its OWN subprocess — the axon
     worker accumulates state across big programs and dies when one process
     compiles too many of them (reproducible; PERF_NOTES round 2). A failed
-    phase drops its components instead of killing the bench."""
+    phase drops its components instead of killing the bench.
+
+    Self-enforced deadline (BENCH_DEADLINE_S, default 18 min): the driver
+    kills the whole bench at an unknown external timeout (>15.5 min — the
+    r3 run passed at that; the r4 COLD-cache run died at it). Phases run
+    in headline-value order under the remaining-time budget and the JSON
+    line is re-emitted cumulatively, so a partial run still reports."""
+    import os
     import subprocess
     comp = {}
     me = __file__
+    deadline = time.monotonic() + float(os.environ.get("BENCH_DEADLINE_S",
+                                                       1080))
 
     def run_one(phase, extra=()):
-        _log(f"phase {phase} {' '.join(extra)}...")
+        left = deadline - time.monotonic()
+        if left < 90:
+            _log(f"phase {phase} SKIPPED (deadline: {left:.0f}s left)")
+            return False
+        _log(f"phase {phase} {' '.join(extra)}... ({left:.0f}s left)")
         try:
             proc = subprocess.run(
                 [sys.executable, me, "--phase", phase, *extra],
-                capture_output=True, text=True, timeout=3000)
+                capture_output=True, text=True, timeout=left - 30)
         except subprocess.TimeoutExpired:
             _log(f"phase {phase} TIMED OUT")
             return False
@@ -453,52 +518,23 @@ def main():
         _log(f"phase {phase} FAILED rc={proc.returncode}")
         return False
 
-    for phase in ("smplt", "stage4"):
-        run_one(phase)
-    # stage 6 batch ladder: B=8 first — the chip is saturated there, and
-    # measured per-frame cost RISES with batch (B=8 0.153 fps vs B=32
-    # 0.091 fps with the Pallas silhouette; PERF_NOTES round-2 sessions
-    # 3/5) — with B=32 as a fallback in case a platform roll breaks the
-    # small-batch program shape.
+    # headline-value order: stage 6 is the composite's dominant term AND
+    # the standalone fallback headline, so it goes first; smplt second
+    # (cheapest compile, unlocks the full-composite formula); stage 4
+    # last (its loss degrades the composite the least — charged at the
+    # r3 cost). Batch ladder: B=8 first — the chip is saturated there,
+    # and measured per-frame cost RISES with batch (PERF_NOTES round-2);
+    # B=32 is a fallback in case a platform roll breaks the small-batch
+    # program shape.
     for b in (8, 32):
         if run_one("stage6", ("--stage6-batch", str(b))):
             break
-
-    smplt_fps = comp.get("smplt_fit_frames_per_sec")
-    baseline_fps = 1500.0 / (6.0 * 3600.0)  # fast end of the 6-8 h range
-    if smplt_fps and "stage6_joint_opt_frames_per_sec" in comp:
-        # full-pipeline projection for 1500 frames on ONE chip:
-        # stage 1 fit + stage 2 refit (~30% of the fit budget,
-        # fit_SMPLH_smoothed.py: 30 vs 100 iters) + stage 3 (triplane
-        # render, when measured) + stage 4 + stage 6
-        stage3_s = comp.get("stage3_triplane_render_ms_per_frame", 0.0) / 1e3
-        per_frame = (1.0 / smplt_fps) * 1.3 \
-            + stage3_s \
-            + comp["stage4_encode_generate_ms_per_frame"] / 1000.0 \
-            + 1.0 / comp["stage6_joint_opt_frames_per_sec"]
-        metric, value = "pipeline_composite_frames_per_sec", 1.0 / per_frame
-        unit = ("frames/s (stages 1-2 + 3 + 4 + 6 measured at release "
-                "budgets, full-budget worst case, single chip)")
-    elif "stage6_joint_opt_frames_per_sec" in comp:
-        # smplt phase lost (e.g. compile timeout on a degraded host) but
-        # the metric-critical stage measured: headline stage 6 alone —
-        # it dominates the reference budget, so the rate stays a
-        # meaningful (conservative) vs-baseline figure
-        metric = "stage6_joint_opt_frames_per_sec"
-        value = comp[metric]
-        unit = ("frames/s (stage-6 joint optimization, full reference "
-                "budget, release net, single chip; other stages lost "
-                "this run)")
-    else:  # partial fallback: the stage-1-2 figure (round-1 contract)
-        metric, value = "smplt_fit_frames_per_sec", smplt_fps or 0.0
-        unit = "frames/s (512-frame chunk, 1080 Adam steps, SMPL-H 6890)"
-    print(json.dumps({
-        "metric": metric,
-        "value": round(value, 3),
-        "unit": unit,
-        "vs_baseline": round(value / baseline_fps, 2),
-        "components": {k: round(float(v), 3) for k, v in comp.items()},
-    }))
+    _emit(comp)
+    if run_one("smplt"):
+        _emit(comp)
+    if run_one("stage4"):
+        pass
+    _emit(comp, final=True)
 
 
 if __name__ == "__main__":

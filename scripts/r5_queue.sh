@@ -24,6 +24,10 @@ R4="python scripts/run_fixture_eval.py --out fixture_run_ms --train-seqs 4 --net
 R8="python scripts/run_fixture_eval.py --out fixture_run_ms8 --train-seqs 8 --net-preset small"
 
 # ---- 1. deterministic ms4 retrain, A/B ----
+# force retrain: the runner's _done markers would skip the (r4-trained,
+# pre-determinism-fix) checkpoints
+rm -rf fixture_run_ms/sifnet_small fixture_run_ms/sn_smpl \
+       fixture_run_ms/sn_rot fixture_run_ms/infiller
 timeout 3600 $R4 --phase train-sif || { echo "QUEUE5 ABORT ms4 train-sif A"; exit 1; }
 python - <<'PY'
 import json
@@ -32,6 +36,8 @@ keys = [k for k in rows[0] if "loss" in k]
 json.dump([{k: r[k] for k in keys if k in r} for r in rows],
           open("/tmp/ms4_train_a.json", "w"))
 PY
+cp -r fixture_run_ms/sifnet_small /tmp/sifnet_small_runA
+rm -rf fixture_run_ms/sifnet_small
 timeout 3600 $R4 --phase train-sif || { echo "QUEUE5 ABORT ms4 train-sif B"; exit 1; }
 python - <<'PY'
 import json

@@ -30,11 +30,25 @@ def enable_compile_cache(path: str | None = None) -> str:
     env = os.environ.get("VISTRACKER_COMPILE_CACHE")
     if env == "0":
         return ""
+    repo = osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__))))
     if path is None:
-        path = env or osp.join(
-            osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__)))),
-            ".jax_compile_cache")
+        path = env or osp.join(repo, ".jax_compile_cache")
     os.makedirs(path, exist_ok=True)
+    # seed from the COMMITTED warm-start cache (benchcache/): the live
+    # cache dir is untracked and VM restarts wipe untracked state, which
+    # made the driver's round-end bench compile everything cold (~14 min
+    # for the smplt program alone on this 1-core host — BENCH_r04 died on
+    # it). Entries whose compiler-build key mismatches simply miss.
+    seed = osp.join(repo, "benchcache")
+    if osp.isdir(seed) and osp.abspath(seed) != osp.abspath(path):
+        for name in os.listdir(seed):
+            dst = osp.join(path, name)
+            if not osp.exists(dst):
+                try:
+                    os.link(osp.join(seed, name), dst)
+                except OSError:
+                    import shutil
+                    shutil.copy(osp.join(seed, name), dst)
     jax.config.update("jax_compilation_cache_dir", path)
     # cache everything that took a nontrivial compile; the default 1 s
     # threshold skips small programs whose recompile is cheaper than a
