@@ -431,8 +431,10 @@ def _emit(comp, final=False):
 
     Called after EVERY phase (not only at the end): the round-4 driver run
     was killed by an external timeout mid-phase with nothing printed
-    (BENCH_r04 rc=124, parsed null) — cumulative emission means the last
-    stdout JSON line always reflects everything measured."""
+    (BENCH_r04 rc=124, parsed null). Interim emissions go to STDERR (they
+    show up in the driver's output tail for a human reader without risking
+    a stdout parser picking a partial line); only the final cumulative
+    line lands on stdout."""
     smplt_fps = comp.get("smplt_fit_frames_per_sec")
     baseline_fps = 1500.0 / (6.0 * 3600.0)  # fast end of the 6-8 h range
     s6 = comp.get("stage6_joint_opt_frames_per_sec")
@@ -475,7 +477,7 @@ def _emit(comp, final=False):
         "unit": unit,
         "vs_baseline": round(value / baseline_fps, 2),
         "components": {k: round(float(v), 3) for k, v in comp.items()},
-    }), flush=True)
+    }), file=sys.stdout if final else sys.stderr, flush=True)
 
 
 def main():
