@@ -99,7 +99,13 @@ _BAND_BLOCKS = 2
 
 
 def _xblk(size: int) -> int:
-    return min(_XBLK, size)
+    # single full-width x tile at sil-phase sizes: a centered object spans
+    # both 128-px tiles of a 256^2 render, so x-tiling cannot cull there —
+    # it only doubles the per-cell fixed overhead (measured 33.1 -> 23.2
+    # ms/step on the B=8 grid scene, bit-identical loss). Keep 128-px
+    # tiles above 256 (stage-3 512^2 coverage), where bbox x-culling of
+    # 4 tiles does pay and the SMEM liveness mask would otherwise grow 4x.
+    return size if size <= 256 else min(_XBLK, size)
 
 
 def _row_tiles(r_idx, x_idx, ct, size: int):
