@@ -88,7 +88,9 @@ def main():
     reader = FrameDataReader(str(fx["seq_dir"]))
 
     model = load_smpl_pkl(str(fx["model_pkl"]))
-    assets = osp.join(str(fx["seq_dir"]), "assets")
+    # assets live BESIDE the sequence dir (one per data_* pool dir), not
+    # inside it — same layout run_fixture_eval's loaders resolve
+    assets = osp.join(osp.dirname(str(fx["seq_dir"])), "assets")
     lms = load_landmarks(assets)
     part_labels = part_labels_array(load_part_labels(assets),
                                     num_verts=model.v_template.shape[0])
