@@ -501,7 +501,12 @@ def run_phase(args):
             + (["--collision"] if args.collision else [])
             + (["--sil-backend", getattr(args, "sil_backend", "auto")]
                if getattr(args, "sil_backend", "auto") != "auto" else [])
-            + (["--fast-gen"] if getattr(args, "fast_gen", False) else [])
+            # explicit either way: the track CLI defaults --fast-gen ON
+            # (round-5 A/B: metric-neutral), but the runner's recorded
+            # results were produced with funnel-off baselines, so it pins
+            # its own semantics instead of inheriting the CLI default
+            + (["--fast-gen"] if getattr(args, "fast_gen", False)
+               else ["--no-fast-gen"])
             + (["--ocent", str(getattr(args, "ocent", 0.0))]
                if getattr(args, "ocent", 0.0) else []))
         run_real_track(targs)  # is_done resume: skips if the pack exists

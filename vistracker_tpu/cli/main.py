@@ -402,11 +402,19 @@ def build_parser():
                     help="median (instead of reference mean) aggregation "
                          "of neural object centers/pca over surface points "
                          "— robust to spurious low-df pockets of weak nets")
-    tr.add_argument("--fast-gen", action="store_true",
+    tr.add_argument("--fast-gen", dest="fast_gen", action="store_true",
+                    default=True,
                     help="stage-4 funnel harvest (generator.FUNNEL_DEFAULT):"
                          " each round prefilters candidates with one cheap "
                          "df eval and projects only the survivors — ~2.6x "
-                         "fewer gather rows at the same final point budget")
+                         "fewer gather rows at the same final point budget. "
+                         "DEFAULT ON since the round-5 heldout A/B measured "
+                         "it metric-neutral (obj_v2v 33.84 vs 33.97 cm, "
+                         "smpl identical; results/"
+                         "fixture_eval_heldout_ms4_small_fastgen.json)")
+    tr.add_argument("--no-fast-gen", dest="fast_gen", action="store_false",
+                    help="reference-budget harvest (3 rounds x 10 "
+                         "projection iters, no prefilter)")
     tr.add_argument("--cache-dtype", choices=("float32", "bfloat16"),
                     default="float32",
                     help="SIF-Net feature-cache storage dtype: bfloat16 "
