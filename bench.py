@@ -84,9 +84,15 @@ def bench_smplt(jnp, jax):
 
 
 def bench_sifnet_and_stage6(jnp, jax, floor_s, do_stage4=True,
-                            do_stage6=True, stage6_batch=32):
+                            do_stage6=True, stage6_batch=32, fast=False):
     """Stage 4 (encode + generate, bs 8) and stage 6 (joint opt, 32-frame
-    chunk, release budget) + the packed-cache query path."""
+    chunk, release budget) + the packed-cache query path.
+
+    fast=True (the orchestrator's behind-schedule mode) measures only the
+    composite-critical components — encode, FUNNEL generate (the track
+    default), stage-3 render, fp32 query — and skips the reference-budget
+    full harvest and the bf16 query A/B (~2.5 min of extra program loads
+    on this host)."""
     from vistracker_tpu.models.sifnet import SIFNet, SIFNetConfig, pack_cache
     from vistracker_tpu.core.camera import PerspectiveCamera
     from vistracker_tpu.core import smpl as S
@@ -134,11 +140,12 @@ def bench_sifnet_and_stage6(jnp, jax, floor_s, do_stage4=True,
 
     if do_stage4:
         print("[bench] stage4 compile...", file=sys.stderr, flush=True)
-        cache = stage4(images, jax.random.PRNGKey(0))  # compile + warm
-        t0 = time.perf_counter()
-        cache = stage4(images, jax.random.PRNGKey(1))
-        dt4 = time.perf_counter() - t0 - floor_s
-        out["stage4_encode_generate_ms_per_frame"] = dt4 / Bg * 1000.0
+        if not fast:
+            cache = stage4(images, jax.random.PRNGKey(0))  # compile + warm
+            t0 = time.perf_counter()
+            cache = stage4(images, jax.random.PRNGKey(1))
+            dt4 = time.perf_counter() - t0 - floor_s
+            out["stage4_encode_generate_ms_per_frame"] = dt4 / Bg * 1000.0
 
         # component split (round-3: makes the stage-4 lever visible —
         # is the 3-round masked harvest or the encoder the cost center?)
@@ -157,13 +164,14 @@ def bench_sifnet_and_stage6(jnp, jax, floor_s, do_stage4=True,
         out["stage4_encode_ms_per_frame"] = (
             (time.perf_counter() - t0 - floor_s) / Bg * 1000.0)
         cache_e = encode_packed(params, images)
-        _fetch(gen(params, cache_e, cc, bc,
-                   jax.random.PRNGKey(2))["object"]["centers"])
-        t0 = time.perf_counter()
-        _fetch(gen(params, cache_e, cc, bc,
-                   jax.random.PRNGKey(3))["object"]["centers"])
-        out["stage4_generate_ms_per_frame"] = (
-            (time.perf_counter() - t0 - floor_s) / Bg * 1000.0)
+        if not fast:
+            _fetch(gen(params, cache_e, cc, bc,
+                       jax.random.PRNGKey(2))["object"]["centers"])
+            t0 = time.perf_counter()
+            _fetch(gen(params, cache_e, cc, bc,
+                       jax.random.PRNGKey(3))["object"]["centers"])
+            out["stage4_generate_ms_per_frame"] = (
+                (time.perf_counter() - t0 - floor_s) / Bg * 1000.0)
 
         # round-4 funnel harvest (--fast-gen): same final point budget,
         # ~2.6x fewer gather rows (the measured cost axis of the query
@@ -218,26 +226,28 @@ def bench_sifnet_and_stage6(jnp, jax, floor_s, do_stage4=True,
             return model.apply(params, cache, p, cc, bc,
                                method=SIFNet.query)[-1]["df"].mean()
 
-        _fetch(query(params, cache, ptsq))
+        _fetch(query(params, cache_e, ptsq))
         n = 8
         t0 = time.perf_counter()
         for _ in range(n):
-            _fetch(query(params, cache, ptsq))
+            _fetch(query(params, cache_e, ptsq))
         out["query_8x20k_ms"] = \
             ((time.perf_counter() - t0) / n - floor_s) * 1000.0
 
-        # bf16 cache (track --cache-dtype bfloat16): same gather ROWS but
-        # half the bytes per row — measures the bandwidth share of the
-        # gather floor
-        from vistracker_tpu.models.sifnet import cast_cache
-        cache16 = cast_cache(cache, jnp.bfloat16)
-        _fetch(query(params, cache16, ptsq))
-        t0 = time.perf_counter()
-        for _ in range(n):
+        if not fast:
+            # bf16 cache (track --cache-dtype bfloat16): same gather ROWS
+            # but half the bytes per row — measures the bandwidth share of
+            # the gather floor
+            from vistracker_tpu.models.sifnet import cast_cache
+            cache16 = cast_cache(cache_e, jnp.bfloat16)
             _fetch(query(params, cache16, ptsq))
-        out["query_8x20k_bf16_ms"] = \
-            ((time.perf_counter() - t0) / n - floor_s) * 1000.0
-        del cache, cache16, ptsq
+            t0 = time.perf_counter()
+            for _ in range(n):
+                _fetch(query(params, cache16, ptsq))
+            out["query_8x20k_bf16_ms"] = \
+                ((time.perf_counter() - t0) / n - floor_s) * 1000.0
+            del cache16
+        del cache_e, ptsq
     if not do_stage6:
         return out
 
@@ -405,7 +415,7 @@ def _measure_floor(jnp, jax):
     return (time.perf_counter() - t0) / 10
 
 
-def run_phase(phase: str, stage6_batch: int = 32):
+def run_phase(phase: str, stage6_batch: int = 32, fast: bool = False):
     """One bench phase in this process; prints a single JSON dict."""
     from vistracker_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache()  # big-program compiles take minutes-to-tens-of-
@@ -417,7 +427,8 @@ def run_phase(phase: str, stage6_batch: int = 32):
     if phase == "smplt":
         out = {"smplt_fit_frames_per_sec": bench_smplt(jnp, jax)}
     elif phase == "stage4":
-        out = bench_sifnet_and_stage6(jnp, jax, floor_s, do_stage6=False)
+        out = bench_sifnet_and_stage6(jnp, jax, floor_s, do_stage6=False,
+                                      fast=fast)
     else:
         out = bench_sifnet_and_stage6(jnp, jax, floor_s, do_stage4=False,
                                       stage6_batch=stage6_batch)
@@ -503,7 +514,7 @@ def main():
     comp = {}
     me = __file__
     deadline = time.monotonic() + float(os.environ.get("BENCH_DEADLINE_S",
-                                                       1080))
+                                                       1140))
 
     def run_one(phase, extra=()):
         left = deadline - time.monotonic()
@@ -541,7 +552,11 @@ def main():
     _emit(comp)
     if run_one("smplt"):
         _emit(comp)
-    if run_one("stage4"):
+    # behind schedule -> stage-4 fast mode: composite-critical components
+    # only (encode + funnel generate + stage-3 render + fp32 query). The
+    # full phase needs ~6 warm minutes of program loads on this host.
+    fast4 = deadline - time.monotonic() < 420
+    if run_one("stage4", ("--fast",) if fast4 else ()):
         pass
     _emit(comp, final=True)
 
@@ -550,6 +565,6 @@ if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--phase":
         b = (int(sys.argv[sys.argv.index("--stage6-batch") + 1])
              if "--stage6-batch" in sys.argv else 32)
-        run_phase(sys.argv[2], stage6_batch=b)
+        run_phase(sys.argv[2], stage6_batch=b, fast="--fast" in sys.argv)
     else:
         main()
