@@ -112,7 +112,8 @@ def build_sample_set(frames, part_labels, i, slot, samples, grid_ratio,
 
 
 def train_sifnet(frames, part_labels, out_dir, crop_size, net_size,
-                 epochs, samples, lr=1e-3, grid_ratio=0.01, preset="tiny"):
+                 epochs, samples, lr=1e-3, grid_ratio=0.01, preset="tiny",
+                 seed=0):
     import jax
     import jax.numpy as jnp
     from vistracker_tpu.models.sifnet import SIFNet, sifnet_preset
@@ -193,7 +194,7 @@ def train_sifnet(frames, part_labels, out_dir, crop_size, net_size,
     # the disk-backed pool the per-item cost is a cache hit anyway
     n_workers = min(10, 2 * (os.cpu_count() or 1))
     loader = PrefetchLoader(example, len(frames), batch_size=4,
-                            num_workers=n_workers)
+                            num_workers=n_workers, seed=seed)
     val_loader = PrefetchLoader(val_example, len(frames), batch_size=4,
                                 num_workers=n_workers)
     # df clamp: the release value (clamp_thres 0.1, torch.clamp semantics =
@@ -218,7 +219,7 @@ def train_sifnet(frames, part_labels, out_dir, crop_size, net_size,
     _ex0 = [val_example(i) for i in range(4)]
     b0 = to_dev({k: np.stack([e[k] for e in _ex0], 0) for k in _ex0[0]})
     state = init_train_state(
-        model, jax.random.PRNGKey(0),
+        model, jax.random.PRNGKey(seed),
         dict(b0, images=images_all[b0["frame_idx"]]), tcfg)
     inner = make_train_step(model, tcfg)
 
@@ -451,7 +452,8 @@ def run_phase(args):
             f"{len(frames)} frames from {len(fxs)} sequence(s))...")
         train_sifnet(frames, part_labels, out, args.crop_size,
                      args.net_size, args.sif_epochs, args.sif_samples,
-                     grid_ratio=args.grid_ratio, preset=args.net_preset)
+                     grid_ratio=args.grid_ratio, preset=args.net_preset,
+                     seed=getattr(args, "train_seed", 0))
         return _mark_done(out)
     if phase == "train-sn":
         out_s, out_r = osp.join(args.out, "sn_smpl"), osp.join(args.out,
@@ -576,6 +578,10 @@ def build_parser():
                          "held-out eval then measures generalization "
                          "from a multi-sequence corpus")
     ap.add_argument("--sif-epochs", type=int, default=60)
+    ap.add_argument("--train-seed", type=int, default=0,
+                    help="SIF-Net init + loader shuffle seed (training is "
+                         "bit-deterministic per seed; vary for a "
+                         "run-to-run variance bar)")
     ap.add_argument("--sif-samples", type=int, default=2500)
     ap.add_argument("--grid-ratio", type=float, default=0.15,
                     help="uniform far-field sample fraction during SIF-Net "
