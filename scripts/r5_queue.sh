@@ -61,6 +61,11 @@ timeout 1800 python scripts/diagnose_fixture.py --run fixture_run_ms \
   results/diagnostics_heldout_ms4_small_r5.json
 
 # ---- 2. ms8 corpus (data generated in round 4; train + eval) ----
+# the queue2-era seeding copied only meta npz files; the common-prefix
+# data dirs live in fixture_run_ms and the loaders resolve --out-relative
+for d in data data_s1 data_s2 data_s3 data_heldout; do
+  [ -d "fixture_run_ms8/$d" ] || cp -al "fixture_run_ms/$d" "fixture_run_ms8/$d"
+done
 nice -n 19 python scripts/prewarm_sample_cache.py --out fixture_run_ms8 > /tmp/prewarm8.log 2>&1 &
 PREWARM=$!
 ok=0
