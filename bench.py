@@ -516,16 +516,18 @@ def main():
     deadline = time.monotonic() + float(os.environ.get("BENCH_DEADLINE_S",
                                                        1140))
 
-    def run_one(phase, extra=()):
+    def run_one(phase, extra=(), cap=None):
         left = deadline - time.monotonic()
         if left < 90:
             _log(f"phase {phase} SKIPPED (deadline: {left:.0f}s left)")
             return False
-        _log(f"phase {phase} {' '.join(extra)}... ({left:.0f}s left)")
+        budget = left - 30 if cap is None else min(cap, left - 30)
+        _log(f"phase {phase} {' '.join(extra)}... ({left:.0f}s left, "
+             f"budget {budget:.0f}s)")
         try:
             proc = subprocess.run(
                 [sys.executable, me, "--phase", phase, *extra],
-                capture_output=True, text=True, timeout=left - 30)
+                capture_output=True, text=True, timeout=budget)
         except subprocess.TimeoutExpired:
             _log(f"phase {phase} TIMED OUT")
             return False
@@ -550,14 +552,21 @@ def main():
         if run_one("stage6", ("--stage6-batch", str(b))):
             break
     _emit(comp)
-    if run_one("smplt"):
+    # the axon worker intermittently stalls a phase for 10+ minutes (same
+    # warm program: 100 s one run, killed at 690 s the next). Cap smplt at
+    # 300 s — healthy warm runs take 100-290 s — so a stall cannot eat the
+    # stage-4 slot, and retry it once at the end with whatever remains.
+    smplt_ok = run_one("smplt", cap=300)
+    if smplt_ok:
         _emit(comp)
     # behind schedule -> stage-4 fast mode: composite-critical components
     # only (encode + funnel generate + stage-3 render + fp32 query). The
     # full phase needs ~6 warm minutes of program loads on this host.
     fast4 = deadline - time.monotonic() < 420
     if run_one("stage4", ("--fast",) if fast4 else ()):
-        pass
+        _emit(comp)
+    if not smplt_ok:
+        run_one("smplt")  # retry: transient stalls usually clear
     _emit(comp, final=True)
 
 
